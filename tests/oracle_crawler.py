@@ -1,0 +1,145 @@
+"""Single-process executable-spec oracle (SURVEY.md §5.1).
+
+A deterministic topical crawler implementing the ``BASELINE.json:6``
+semantics with plain Python data structures: priority ordering
+(relevance_q desc, depth, discovery_time, discovery_seq), per-host
+politeness budgets, longest-prefix robots rules, URL-seen set keyed at
+*admission* time (the Mercator-style seen-at-insert design both sides
+share).  Environment-model functions (canonicalization, the synthetic
+web, the relevance model) are imported from topicalcrawler_spark.core —
+identical on both sides by construction — while the *scheduler* logic
+here is written independently of the Spark engine; trace equality
+between the two is the correctness gate (``BASELINE.json:14``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from topicalcrawler_spark.core.relevance import SEED_RELEVANCE_Q, score_q
+from topicalcrawler_spark.core.synthweb import MAX_LINKS, fetch_page
+from topicalcrawler_spark.core.urlcanon import canon_url, host_of, path_of
+from topicalcrawler_spark.sources import fixtures as fx
+
+SEQ_STRIDE = MAX_LINKS * 2
+
+
+@dataclass
+class Candidate:
+    url_canon: str
+    host: str
+    depth: int
+    discovery_time: datetime
+    discovery_seq: int
+    relevance_q: int
+
+    def order_key(self):
+        return (
+            -self.relevance_q,
+            self.depth,
+            self.discovery_time,
+            self.discovery_seq,
+        )
+
+
+def robots_allows(rules: list[dict], path: str) -> bool:
+    """Longest-prefix decision; no rules / no match → allow."""
+    best_len, best_allow = -1, True
+    for r in rules or []:
+        if path.startswith(r["prefix"]) and len(r["prefix"]) > best_len:
+            best_len, best_allow = len(r["prefix"]), r["allow"]
+    return best_allow
+
+
+def crawl(
+    seed_urls: list[str],
+    rounds: int,
+    max_depth: int = 3,
+    default_budget: int = fx.DEFAULT_BUDGET,
+) -> tuple[list[dict], set[str]]:
+    """Returns (trace rows in fetch order, final seen set)."""
+    robots = fx.current_robots()
+    budgets = {b["host"]: b["budget_per_round"] for b in fx.make_budgets()}
+
+    seen: set[str] = set()
+    pending: list[Candidate] = []
+    for line_no, raw in enumerate(seed_urls, start=1):
+        uc = canon_url(raw)
+        if uc in seen:
+            continue
+        seen.add(uc)
+        pending.append(
+            Candidate(uc, host_of(uc), 0, fx.T0, line_no, SEED_RELEVANCE_Q)
+        )
+
+    trace: list[dict] = []
+    for round_n in range(1, rounds + 1):
+        if not pending:
+            break
+        # robots gate: blocked rows leave the frontier permanently
+        allowed = [
+            c
+            for c in pending
+            if robots_allows(robots.get(c.host), path_of(c.url_canon))
+        ]
+        # per-host budget top-k by the shared order key
+        by_host: dict[str, list[Candidate]] = {}
+        for c in allowed:
+            by_host.setdefault(c.host, []).append(c)
+        selected: list[Candidate] = []
+        for host, cands in by_host.items():
+            cands.sort(key=Candidate.order_key)
+            selected.extend(cands[: budgets.get(host, default_budget)])
+        selected.sort(key=Candidate.order_key)
+
+        selected_set = {c.url_canon for c in selected}
+        residual = [c for c in allowed if c.url_canon not in selected_set]
+
+        discovery_time = fx.T0 + timedelta(seconds=round_n)
+        batch: dict[str, Candidate] = {}
+        for trace_seq, c in enumerate(selected, start=1):
+            page = fetch_page(c.url_canon)
+            trace.append(
+                {
+                    "trace_seq": trace_seq,
+                    "round": round_n,
+                    "url_canon": c.url_canon,
+                    "host": c.host,
+                    "depth": c.depth,
+                    "relevance_q": c.relevance_q,
+                    "discovery_seq": c.discovery_seq,
+                    "status": page["status"],
+                    "image_id": page["image_id"],
+                }
+            )
+            if page["status"] != 200:
+                continue
+            for idx, (link, ctx) in enumerate(
+                zip(page["out_links"], page["link_context"])
+            ):
+                uc = canon_url(link)
+                depth = c.depth + 1
+                if depth > max_depth or not (
+                    uc.startswith("http://") or uc.startswith("https://")
+                ):
+                    continue
+                cand = Candidate(
+                    uc,
+                    host_of(uc),
+                    depth,
+                    discovery_time,
+                    c.discovery_seq * SEQ_STRIDE + idx + 1,
+                    score_q(ctx),
+                )
+                # T1 batch dedup: keep the order-key minimum per URL
+                cur = batch.get(uc)
+                if cur is None or cand.order_key() < cur.order_key():
+                    batch[uc] = cand
+
+        new_links = [c for c in batch.values() if c.url_canon not in seen]
+        for c in new_links:
+            seen.add(c.url_canon)
+        pending = residual + new_links
+
+    return trace, seen

@@ -1,0 +1,189 @@
+"""Unit + property tests for the deterministic core (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from topicalcrawler_spark.core import bloom
+from topicalcrawler_spark.core import imagecodec as ic
+from topicalcrawler_spark.core.relevance import score_q
+from topicalcrawler_spark.core.synthweb import fetch_page
+from topicalcrawler_spark.core.urlcanon import canon_url, host_of, path_of
+
+# ------------------------------------------------------------- canon (P1)
+
+CANON_CASES = [
+    ("HTTP://ExAmple-03.TEST:80/a/b?b=2&a=1#sec", "http://example-03.test/a/b?a=1&b=2"),
+    ("https://Host.Test:443/", "https://host.test/"),
+    ("https://Host.Test:8443/x", "https://host.test:8443/x"),
+    ("http://h.test", "http://h.test/"),
+    ("http://h.test/?", "http://h.test/"),
+    ("http://h.test/p#frag", "http://h.test/p"),
+    ("  http://h.test/p  ", "http://h.test/p"),
+    ("not a url", "not a url"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_canon_cases(raw, want):
+    assert canon_url(raw) == want
+
+
+_host = st.from_regex(r"[a-z]([a-z0-9\-]{0,10})", fullmatch=True)
+_path = st.from_regex(r"(/[a-z0-9]{0,6}){0,3}", fullmatch=True)
+_params = st.lists(st.from_regex(r"[a-z]=[0-9]{1,3}", fullmatch=True), max_size=4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    host=_host,
+    upper=st.booleans(),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_path,
+    params=_params,
+    frag=st.sampled_from(["", "#x", "#sec"]),
+)
+def test_canon_idempotent_and_invariant(scheme, host, upper, port, path, params, frag):
+    q = "?" + "&".join(params) if params else ""
+    url = f"{scheme}://{host.upper() if upper else host}{port}{path}{q}{frag}"
+    c = canon_url(url)
+    # idempotence
+    assert canon_url(c) == c
+    # case / fragment / param-order invariance classes collapse
+    url2 = f"{scheme.lower()}://{host}{port}{path}"
+    if params:
+        url2 += "?" + "&".join(reversed(params))
+    assert canon_url(url2) == c
+
+
+def test_host_and_path():
+    assert host_of("http://user@h.test:8080/x") == "h.test"
+    assert path_of("http://h.test") == "/"
+    assert path_of("http://h.test/a/b?x=1") == "/a/b"
+
+
+# ------------------------------------------------------------- codecs (U4)
+
+
+@pytest.mark.parametrize("fmt", ic.FORMATS)
+def test_codec_roundtrip(fmt):
+    px = ic.make_pixels(7, 45, 33)
+    rt = ic.decode(ic.encode(px, fmt), fmt)
+    if ic.LOSSLESS[fmt]:
+        assert np.array_equal(px, rt)
+    else:
+        assert ic.psnr(px, rt) >= 40.0  # the BASELINE.json:15 gate
+
+
+def test_png_all_filter_types_decode():
+    # hand-build a PNG using each filter type per row; decoder must match
+    import struct
+    import zlib
+
+    from topicalcrawler_spark.core.imagecodec import _chunk, _PNG_SIG
+
+    px = ic.make_pixels(3, 8, 5)
+    h, w, _ = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line.tobytes()
+        elif ftype == 1:
+            enc = line.astype(np.int16).copy()
+            enc[3:] -= line[:-3]
+            raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        elif ftype == 2:
+            raw += ((line.astype(np.int16) - prev) & 0xFF).astype(np.uint8).tobytes()
+        elif ftype == 3:
+            enc = np.zeros(w * 3, np.uint8)
+            for x in range(w * 3):
+                left = int(line[x - 3]) if x >= 3 else 0
+                enc[x] = (int(line[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+            raw += enc.tobytes()
+        else:
+            enc = np.zeros(w * 3, np.uint8)
+            for x in range(w * 3):
+                a = int(line[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) & 0xFF
+            raw += enc.tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(ic.decode_png(data), px)
+
+
+def test_phash_properties():
+    px = ic.make_pixels(11, 64, 64)
+    ph = ic.phash64(px)
+    # invariance under lossless re-encode
+    assert ic.phash64(ic.decode(ic.encode(px, "png"), "png")) == ph
+    # near-dup stays near, unrelated stays far
+    noisy = np.clip(
+        px.astype(np.int16)
+        + np.random.default_rng(5).integers(-2, 3, px.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert ic.hamming64(ph, ic.phash64(noisy)) <= 8
+    assert ic.hamming64(ph, ic.phash64(ic.make_pixels(99, 64, 64))) > 8
+
+
+# ------------------------------------------------------------- bloom (A5/U5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=500))
+def test_bloom_no_false_negatives(keys):
+    arr = np.array(keys, dtype=np.int64)
+    n_bits, k = bloom.params_for(len(keys), 0.01)
+    bits = bloom.build(arr, n_bits, k)
+    assert bloom.probe(arr, bits, k).all()
+
+
+def test_bloom_fp_rate_and_merge():
+    rng = np.random.default_rng(0)
+    a = rng.integers(-(2**62), 2**62, 4000)
+    b = rng.integers(-(2**62), 2**62, 4000)
+    n_bits, k = bloom.params_for(8000, 0.01)
+    ba, bb = bloom.build(a, n_bits, k), bloom.build(b, n_bits, k)
+    merged = bloom.merge([ba, bb])
+    assert np.array_equal(merged, bloom.merge([bb, ba]))  # commutative
+    assert bloom.probe(a, merged, k).all() and bloom.probe(b, merged, k).all()
+    others = rng.integers(-(2**62), 2**62, 50000)
+    assert bloom.probe(others, merged, k).mean() <= 0.02  # ≤ 2·fpp
+
+
+# ------------------------------------------------------------- env model
+
+
+def test_synthweb_deterministic():
+    a = fetch_page("http://host-00.test/s/0001")
+    b = fetch_page("http://host-00.test/s/0001")
+    assert a["out_links"] == b["out_links"]
+    assert a["image_bytes"] == b["image_bytes"]
+    assert a["phash"] == b["phash"]
+
+
+def test_relevance_integer_and_deterministic():
+    s = score_q("spark crawl frontier pebble umbrella")
+    assert isinstance(s, int)
+    assert s == score_q("spark crawl frontier pebble umbrella")
+    assert score_q("spark crawl frontier") > score_q("pebble umbrella violin")

@@ -1,0 +1,62 @@
+"""THE correctness gate (``BASELINE.json:14``): the Spark engine must
+reproduce the oracle crawler's exact fetch ordering and final URL-seen
+set under the same seed list + politeness budgets."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests import oracle_crawler
+from topicalcrawler_spark.plans.round import CrawlConfig, read_seen, read_trace, run_crawl
+from topicalcrawler_spark.sources import fixtures as fx
+
+TRACE_COLS = [
+    "trace_seq",
+    "round",
+    "url_canon",
+    "host",
+    "depth",
+    "relevance_q",
+    "discovery_seq",
+    "status",
+    "image_id",
+]
+
+
+def _spark_crawl(spark, tmp_path, rounds, **cfg_kw):
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **cfg_kw)
+    run_crawl(spark, cfg, seeds_path, rounds)
+    trace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    seen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    return trace, seen, cfg
+
+
+def _oracle_crawl(rounds, max_depth=3):
+    seeds = fx.make_seeds()
+    otrace, oseen = oracle_crawler.crawl(seeds, rounds, max_depth=max_depth)
+    trace = [tuple(r[c] for c in TRACE_COLS) for r in otrace]
+    return trace, oseen
+
+
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_trace_and_seen_match_oracle(spark, tmp_path, rounds):
+    strace, sseen, _ = _spark_crawl(spark, tmp_path, rounds)
+    otrace, oseen = _oracle_crawl(rounds)
+    assert len(strace) == len(otrace)
+    for i, (s, o) in enumerate(zip(strace, otrace)):
+        assert s == o, f"trace diverges at fetch #{i}: spark={s} oracle={o}"
+    assert sseen == oseen
+
+
+def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
+    """M2/M4 gate: 5 rounds, bloom prefilter ON — results must be
+    IDENTICAL to the oracle (bloom is an optimization, never authority)."""
+    strace, sseen, _ = _spark_crawl(spark, tmp_path, 5, use_bloom=True)
+    otrace, oseen = _oracle_crawl(5)
+    assert strace == otrace
+    assert sseen == oseen

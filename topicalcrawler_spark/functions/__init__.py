@@ -1,0 +1,88 @@
+"""Vectorized UDFs + column expressions wrapping the deterministic core.
+
+Only two things here run in Python workers (both Arrow-batched):
+canonicalization (U1) and relevance scoring (U2).  Everything else —
+host extraction, hashing, robots prefix matching, ordering — is a
+JVM-side Catalyst expression, keeping the hot path inside whole-stage
+codegen (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.relevance import REL_Q_PER_UNIT, score_q_batch
+from ..core.urlcanon import canon_series
+
+
+@F.pandas_udf(T.StringType())
+def canon_udf(urls: pd.Series) -> pd.Series:
+    """U1 — URL canonicalization (core.urlcanon rules, Arrow-batched)."""
+    return canon_series(urls)
+
+
+@F.pandas_udf(T.LongType())
+def relevance_q_udf(context: pd.Series) -> pd.Series:
+    """U2 — integer hashed-BoW link-context relevance (core.relevance)."""
+    return pd.Series(score_q_batch(context.tolist()))
+
+
+def host_expr(url_canon: str | Column = "url_canon") -> Column:
+    """P3 — host extraction, JVM-side (parse_url strips any :port)."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+def path_expr(url_canon: str | Column = "url_canon") -> Column:
+    """Path component for robots matching; empty path normalized to '/'."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.coalesce(F.nullif(F.parse_url(c, F.lit("PATH")), F.lit("")), F.lit("/"))
+
+
+def url_hash_expr(url_canon: str | Column = "url_canon") -> Column:
+    """P2 — physical-plane 64-bit hash (JVM xxhash64; partitioning/bloom
+    only — nothing the oracle compares depends on this value)."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.xxhash64(c)
+
+
+def relevance_expr(relevance_q: str | Column = "relevance_q") -> Column:
+    """Display-only float view of the fixed-point relevance."""
+    c = F.col(relevance_q) if isinstance(relevance_q, str) else relevance_q
+    return c.cast("double") / F.lit(float(REL_Q_PER_UNIT))
+
+
+def robots_allowed_expr(path_col: str = "path", rules_col: str = "rules") -> Column:
+    """P5 — longest-prefix robots decision, fully JVM-side.
+
+    Among rules whose prefix is a prefix of the URL path, the longest
+    wins; no rules / no match / no robots row → allow.  Expressed with
+    higher-order array functions so it stays inside codegen — no UDF.
+    """
+    return F.coalesce(
+        F.expr(
+            f"""
+            array_max(
+              transform(
+                filter({rules_col}, r -> startswith({path_col}, r.prefix)),
+                r -> struct(length(r.prefix) AS l, r.allow AS allow)
+              )
+            ).allow
+            """
+        ),
+        F.lit(True),
+    )
+
+
+# The one frontier ordering spec, shared by every operator that ranks
+# (SURVEY.md §7 hard part 1: single source of truth for the order key).
+def order_cols() -> list[Column]:
+    return [
+        F.col("relevance_q").desc(),
+        F.col("depth").asc(),
+        F.col("discovery_time").asc(),
+        F.col("discovery_seq").asc(),
+    ]

@@ -1,0 +1,132 @@
+"""icelite — a minimal snapshot/manifest table layer over parquet.
+
+The north-rule (``BASELINE.json:14``) calls for Iceberg tables, but no
+Iceberg runtime jar exists in-sandbox and there is no network to fetch
+one (SURVEY.md §0).  icelite preserves the *capabilities* Iceberg is
+invoked for — snapshot-isolated commits, time-travel to any round,
+resumable checkpoints, manifest-level partition pruning — behind an API
+shaped so a real Iceberg catalog is a drop-in swap:
+
+    commit(df, table_dir, round_n)    -> snapshot_id
+    read_snapshot(spark, table_dir, snapshot_id=None) -> DataFrame
+    history(table_dir)                -> [manifest dicts]
+
+Physical layout::
+
+    table_dir/
+      data/snap-000001/part-*.parquet     (immutable once committed)
+      manifests/snap-000001.json          {snapshot_id, parent_id, files,
+                                           row_count, round, meta}
+      LATEST.json                          (atomic pointer, os.replace)
+
+A commit writes data first, manifest second, pointer last — a crashed
+commit leaves the previous snapshot intact and fully readable
+(re-running the round is idempotent because snapshot inputs are
+immutable; SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(table_dir, "manifests", f"snap-{snapshot_id:06d}.json")
+
+
+def _latest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "LATEST.json")
+
+
+def latest_snapshot_id(table_dir: str) -> int | None:
+    p = _latest_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["snapshot_id"]
+
+
+def read_manifest(table_dir: str, snapshot_id: int) -> dict:
+    with open(_manifest_path(table_dir, snapshot_id)) as f:
+        return json.load(f)
+
+
+def history(table_dir: str) -> list[dict]:
+    """All manifests, oldest first (the parent chain)."""
+    out = []
+    for p in sorted(glob(os.path.join(table_dir, "manifests", "snap-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    round_n: int,
+    meta: dict | None = None,
+    mode: str = "replace",
+) -> int:
+    """Write an immutable snapshot of ``df`` and advance the pointer.
+
+    mode="replace": the snapshot is exactly ``df``.
+    mode="append":  the snapshot = parent's file list + ``df``'s new
+    files — append-only tables (seen / corpus / trace / lineage) never
+    rewrite old data, which is what keeps a 10^10-row seen-set
+    commit O(round delta), not O(total).
+    """
+    parent = latest_snapshot_id(table_dir)
+    snap_id = (parent or 0) + 1
+    data_dir = os.path.join(table_dir, "data", f"snap-{snap_id:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+
+    files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
+    # row counts from parquet footers — no second Spark job needed
+    row_count = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if mode == "append" and parent is not None:
+        pm = read_manifest(table_dir, parent)
+        files = pm["files"] + files
+        row_count += pm["row_count"]
+
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "files": files,
+        "row_count": row_count,
+        "round": round_n,
+        "meta": meta or {},
+    }
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    mpath = _manifest_path(table_dir, snap_id)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)
+
+    ltmp = _latest_path(table_dir) + ".tmp"
+    with open(ltmp, "w") as f:
+        json.dump({"snapshot_id": snap_id}, f)
+    os.replace(ltmp, _latest_path(table_dir))
+    return snap_id
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """DataFrame over one snapshot's exact file list (manifest pruning)."""
+    if snapshot_id is None:
+        snapshot_id = latest_snapshot_id(table_dir)
+        if snapshot_id is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, snapshot_id)
+    if not manifest["files"]:
+        # empty snapshot: re-read the (schema-bearing) empty parquet dir
+        return spark.read.parquet(
+            os.path.join(table_dir, "data", f"snap-{snapshot_id:06d}")
+        )
+    return spark.read.parquet(*manifest["files"])

@@ -1,0 +1,317 @@
+"""The crawl loop — §3.1 lifecycle: one round = one DataFrame job chain.
+
+Per round, over icelite snapshot tables (frontier / seen / corpus /
+trace / lineage):
+
+  1. read frontier snapshot (pending URLs)
+  2. J2/P5 robots gate (broadcast join + codegen'd longest-prefix)
+  3. J3/W1/P6 per-host budget top-k (salted two-stage window)
+  4. U3 fetch (Arrow-batch synthetic web)
+  5. O1 global fetch order -> trace append
+  6. U4 decode/verify -> corpus append
+  7. links: explode + canon (U1) + score (U2) + scheme/depth filter
+     + T1 deterministic batch dedup + (optional bloom prefilter) +
+     J1 exact anti-join vs seen
+  8. commit: seen += new links, frontier = residual ∪ new links,
+     lineage += per-partition metrics
+
+Determinism contract (SURVEY.md §7 hard part 1): ordering key =
+(relevance_q desc, depth, discovery_time, discovery_seq) — all
+integral; child discovery_seq = parent_seq*(MAX_LINKS*2) + link_index+1
+(unique within a depth generation, and depth precedes seq in the key);
+discovery_time = T0 + round seconds (deterministic, not wall-clock).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import icelite
+from ..core.relevance import REL_Q_PER_UNIT, SEED_RELEVANCE_Q
+from ..core.synthweb import MAX_LINKS
+from ..functions import (
+    canon_udf,
+    host_expr,
+    relevance_expr,
+    relevance_q_udf,
+    url_hash_expr,
+)
+from ..operators.dedup import (
+    anti_join_seen,
+    bloom_prefilter,
+    build_bloom_shards,
+    dedup_batch,
+)
+from ..operators.fetch import fetch_selected
+from ..operators.politeness import (
+    global_fetch_order,
+    select_per_host_topk,
+    with_budget,
+)
+from ..operators.robots import latest_robots, with_robots_decision
+from ..schemas import FRONTIER, HOST_BUDGET, ROBOTS
+from ..sources import fixtures as fx
+
+SEQ_STRIDE = MAX_LINKS * 2  # child seq = parent_seq*SEQ_STRIDE + idx + 1
+
+
+@dataclass
+class CrawlConfig:
+    root: str
+    max_depth: int = 3
+    default_budget: int = fx.DEFAULT_BUDGET
+    n_shards: int = 16
+    salt: int = 8
+    use_bloom: bool = False
+    bloom_fpp: float = 0.01
+    robots_rows: list = field(default_factory=fx.make_robots)
+    budget_rows: list = field(default_factory=fx.make_budgets)
+
+    def table(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+
+def _robots_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    rows = [
+        (r["host"], r["fetched_at"], [(x["prefix"], x["allow"]) for x in r["rules"]],
+         r["crawl_delay"])
+        for r in cfg.robots_rows
+    ]
+    return spark.createDataFrame(rows, schema=ROBOTS)
+
+
+def _budgets_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    rows = [(r["host"], r["budget_per_round"]) for r in cfg.budget_rows]
+    return spark.createDataFrame(rows, schema=HOST_BUDGET)
+
+
+def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
+    """Round 0: seeds → canon → dedup (first line wins) → frontier+seen."""
+    from ..sources import load_seeds
+
+    seeds = (
+        load_seeds(spark, seeds_path)
+        .withColumn("url_canon", canon_udf("url"))
+        .withColumn("url_hash", url_hash_expr("url_canon"))
+        .withColumn("host", host_expr("url_canon"))
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovery_time", F.lit(fx.T0))
+        .withColumn("relevance_q", F.lit(SEED_RELEVANCE_Q).cast("long"))
+        .withColumn("relevance", relevance_expr("relevance_q"))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("round", F.lit(0))
+        .withColumn("status", F.lit("pending"))
+        .select(*[f.name for f in FRONTIER.fields])
+    )
+    frontier0 = dedup_batch(seeds).repartitionByRange(
+        cfg.n_shards, "url_hash"
+    )
+    frontier0 = frontier0.cache()
+    icelite.commit(frontier0, cfg.table("frontier"), 0, mode="replace")
+    icelite.commit(
+        frontier0.select("url_canon", "url_hash"),
+        cfg.table("seen"),
+        0,
+        mode="replace",
+    )
+    frontier0.unpersist()
+
+
+def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
+    """Execute one crawl round; returns the round's metric counters."""
+    t_start = time.monotonic()
+    frontier = icelite.read_snapshot(spark, cfg.table("frontier"))
+    n_pending = frontier.count()
+    if n_pending == 0:
+        return {"round": round_n, "n_pending": 0, "n_fetched": 0}
+
+    # 2. robots gate (J2/J7/P5 — all JVM-side)
+    robots_cur = latest_robots(_robots_df(spark, cfg))
+    gated = with_robots_decision(frontier, robots_cur).cache()
+    allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+    n_blocked = gated.filter(~F.col("robots_allowed")).count()
+
+    # 3. per-host budget top-k (J3/W1/P6)
+    selected = select_per_host_topk(
+        with_budget(allowed, _budgets_df(spark, cfg), cfg.default_budget),
+        salt=cfg.salt,
+    )
+
+    # 4./5. fetch + global order
+    fetched = global_fetch_order(fetch_selected(selected)).cache()
+    n_fetched = fetched.count()
+    n_errors = fetched.filter(F.col("http_status") != 200).count()
+
+    trace = fetched.select(
+        "trace_seq",
+        F.lit(round_n).alias("round"),
+        "url_canon",
+        "host",
+        "depth",
+        "relevance_q",
+        "discovery_seq",
+        F.col("http_status").alias("status"),
+        "image_id",
+    )
+    icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
+
+    # 6. corpus append (authoritative schema, BASELINE.json:15)
+    corpus_rows = fetched.filter(F.col("image_id").isNotNull()).select(
+        "image_id",
+        F.col("image_bytes").alias("bytes"),
+        F.col("img_w").alias("w"),
+        F.col("img_h").alias("h"),
+        F.col("img_fmt").alias("fmt"),
+        "caption",
+        "phash",
+    )
+    icelite.commit(corpus_rows, cfg.table("corpus"), round_n, mode="append")
+
+    # 7. new links
+    discovery_time = fx.T0 + timedelta(seconds=round_n)
+    links = (
+        fetched.filter(F.col("http_status") == 200)
+        .select(
+            F.col("url_canon").alias("parent_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.posexplode(F.arrays_zip("out_links", "link_context")).alias(
+                "idx", "z"
+            ),
+        )
+        .select(
+            F.col("z.out_links").alias("url"),
+            F.col("z.link_context").alias("context"),
+            "parent_url",
+            "parent_depth",
+            "parent_seq",
+            "idx",
+        )
+        .withColumn("url_canon", canon_udf("url"))
+        .withColumn("url_hash", url_hash_expr("url_canon"))
+        .withColumn("host", host_expr("url_canon"))
+        .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+        .withColumn("discovery_time", F.lit(discovery_time))
+        .withColumn(
+            "discovery_seq",
+            F.col("parent_seq") * SEQ_STRIDE + F.col("idx") + 1,
+        )
+        .withColumn("relevance_q", relevance_q_udf("context"))
+        .withColumn("relevance", relevance_expr("relevance_q"))
+        .withColumn("round", F.lit(round_n))
+        .withColumn("status", F.lit("pending"))
+        # P4: scheme + depth gate
+        .filter(
+            (F.col("depth") <= cfg.max_depth)
+            & (
+                F.col("url_canon").startswith("http://")
+                | F.col("url_canon").startswith("https://")
+            )
+        )
+        .select(*[f.name for f in FRONTIER.fields])
+    )
+    links = dedup_batch(links)
+
+    seen = icelite.read_snapshot(spark, cfg.table("seen"))
+    n_candidates = links.cache().count()
+    if cfg.use_bloom:
+        shard_bits, k = build_bloom_shards(seen, cfg.n_shards, cfg.bloom_fpp)
+        probed = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
+        # definitely-unseen rows skip the exact join; possible hits go
+        # through the exact anti-join (the authority)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        new_links = fresh.unionByName(anti_join_seen(maybe, seen))
+    else:
+        new_links = anti_join_seen(links, seen)
+    new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
+    n_new = new_links.count()
+
+    # 8. commits: seen += new, frontier = residual ∪ new
+    icelite.commit(
+        new_links.select("url_canon", "url_hash"),
+        cfg.table("seen"),
+        round_n,
+        mode="append",
+    )
+    residual = allowed.join(
+        selected.select("url_canon"), "url_canon", "left_anti"
+    ).select(*[f.name for f in FRONTIER.fields])
+    new_frontier = residual.unionByName(new_links).repartitionByRange(
+        cfg.n_shards, "url_hash"
+    )
+    frontier_snap = icelite.commit(
+        new_frontier, cfg.table("frontier"), round_n, mode="replace"
+    )
+
+    # lineage: per-partition fetch metrics + a round-total row (S7)
+    per_part = (
+        fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum((F.col("http_status") != 200).cast("long")).alias("n_errors"),
+        )
+        .select(
+            F.lit(round_n).alias("round"),
+            "partition_id",
+            F.lit(n_candidates).alias("n_candidates"),
+            F.lit(n_candidates - n_new).alias("n_dedup"),
+            F.lit(n_blocked).alias("n_robots_blocked"),
+            "n_fetched",
+            "n_errors",
+            F.lit(int((time.monotonic() - t_start) * 1000)).alias("wall_ms"),
+            F.lit(frontier_snap).cast("long").alias("snapshot_id"),
+        )
+    )
+    icelite.commit(per_part, cfg.table("lineage"), round_n, mode="append")
+
+    stats = {
+        "round": round_n,
+        "n_pending": n_pending,
+        "n_robots_blocked": int(n_blocked),
+        "n_fetched": int(n_fetched),
+        "n_errors": int(n_errors),
+        "n_candidates": int(n_candidates),
+        "n_new": int(n_new),
+        "wall_s": time.monotonic() - t_start,
+    }
+    gated.unpersist()
+    fetched.unpersist()
+    links.unpersist()
+    new_links.unpersist()
+    return stats
+
+
+def run_crawl(
+    spark: SparkSession, cfg: CrawlConfig, seeds_path: str, rounds: int
+) -> list[dict]:
+    """init + N rounds (the spark-submit entry; resume() continues one)."""
+    init_crawl(spark, cfg, seeds_path)
+    return [crawl_round(spark, cfg, r) for r in range(1, rounds + 1)]
+
+
+def resume(spark: SparkSession, cfg: CrawlConfig, rounds: int) -> list[dict]:
+    """§3.3 — continue from the last committed snapshots.  All state
+    lives in icelite tables, so resumption is just 'run more rounds';
+    the equivalence crawl(k) ≡ crawl(j);resume(k−j) is property-tested."""
+    last = icelite.read_manifest(
+        cfg.table("frontier"), icelite.latest_snapshot_id(cfg.table("frontier"))
+    )["round"]
+    return [crawl_round(spark, cfg, r) for r in range(last + 1, last + 1 + rounds)]
+
+
+def read_trace(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    """Full fetch trace across all rounds, in fetch order."""
+    return icelite.read_snapshot(spark, cfg.table("trace")).orderBy(
+        "round", "trace_seq"
+    )
+
+
+def read_seen(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    return icelite.read_snapshot(spark, cfg.table("seen"))
