@@ -1,0 +1,254 @@
+"""Document deduplication operators over the ``documents`` table.
+
+Four families (task brief "Deduplication"):
+
+- exact:        md5(text) hash-groupBy                      (exact_dedup)
+- n-gram Jaccard: token-postings self-join, exact Jaccard   (jaccard_pairs)
+- MinHash+LSH:  per-row minhash signature (no shuffle), band
+                self-join candidates, exact-Jaccard verify   (minhash_*)
+- SimHash:      60-bit majority-bit hash, pigeonhole chunk
+                band join + exact hamming verify             (simhash_*)
+
+Scale notes (100 TB design point):
+
+- Signatures/simhashes are computed with per-row array expressions —
+  whole-stage codegen, zero shuffle, embarrassingly parallel.
+- Pair generation shuffles only on band/chunk keys. MinHash band width
+  (bands×rows_per_band) trades candidate volume vs recall: the default
+  here is rows_per_band=1 (recall ≥ 1-(1-j)^64, i.e. miss < 2^-64 at
+  j≥0.5 — effectively exact, which makes the DuckDB brute-force oracle
+  a valid ground truth). At 100 TB use rows_per_band=2..4 to keep
+  bucket sizes sub-quadratic, and frequency-cap hot shingles.
+- SimHash pair search uses the pigeonhole principle: with 4 chunks of
+  15 bits, any pair at hamming ≤ 3 shares ≥ 1 exact chunk — the band
+  join is *lossless* for the ≤3 threshold (not approximate).
+
+All hashing is md5-derived (analysis.hashing) so every step is
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60_expr, tokens_expr
+
+NUM_PERM = 64
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = 15
+CHUNK_MASK = (1 << CHUNK_BITS) - 1
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: one row per distinct text, with the keeper
+    (min doc_id) and copy count. Output: (text_hash, keeper, n_copies)."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _token_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.array_distinct(tokens_expr("text")).alias("toks")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard over all pairs via a token-postings
+    self-join (the scalable formulation: shuffles on token, never
+    materializes the full cross product). Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr("text"))).alias("tok")
+    )
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    inter = (
+        postings.alias("a")
+        .join(postings.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("nt", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("nt", "nb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """Per-doc MinHash signature as array<long>, computed row-local
+    (no shuffle): sig[i] = min over distinct tokens of
+    hash60(i || ':' || token). Output: (doc_id, sig)."""
+    toks = F.array_distinct(tokens_expr("text"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    toks,
+                    lambda t, i=i: hash60_expr(
+                        F.concat_ws(":", F.lit(str(i)), t)
+                    ),
+                )
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Candidate pairs collide on >=1 band (band key = hash of
+    rows_per_band consecutive signature values); each candidate is then
+    verified with the TRUE token-set Jaccard, so false positives are
+    impossible and (at rows_per_band=1) misses are < 2^-64 — the
+    output equals the brute-force Jaccard pairs for j >= 0.5.
+    Output: (doc_a, doc_b, jaccard).
+    """
+    n_bands = num_perm // rows_per_band
+    sig = minhash_signature(docs, num_perm)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = _token_sets(docs)
+    return (
+        cands.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash per doc (majority vote of token-hash bits, token
+    multiset — repeated tokens count twice). Output: (doc_id, simhash).
+
+    Row-local variant: explode is over (tokens x bits) which is linear
+    with constant 60 — no quadratic blowup; groupBy doc_id/bit is the
+    only shuffle and is partial-aggregated map-side by Catalyst.
+    """
+    th = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    ).select("doc_id", hash60_expr("tok").alias("th"))
+    bit_votes = (
+        th.select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b", "_"),
+            "th",
+        )
+        .withColumn("bit", F.expr("shiftright(th, b) % 2"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("votes"))
+    )
+    return (
+        bit_votes.withColumn(
+            "contrib",
+            F.when(
+                F.col("votes") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs at hamming(simhash) <= max_hamming via lossless
+    pigeonhole chunk-band join (requires max_hamming < SIMHASH_CHUNKS).
+    Output: (doc_a, doc_b, hamming)."""
+    assert max_hamming < SIMHASH_CHUNKS, "pigeonhole bound violated"
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(simhash, {c * CHUNK_BITS}) % {CHUNK_MASK + 1}"
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c", "chunk"),
+    )
+    return (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["c", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

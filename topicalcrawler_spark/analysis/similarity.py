@@ -1,0 +1,337 @@
+"""Similarity search over an embedding column (task brief: ANN surface).
+
+- cosine_topk:    brute-force exact top-k (broadcast the query side) —
+                  the correctness baseline, oracle-checkable.
+- cosine_neardup: exact all-pairs near-dup at a cosine threshold.
+- lsh_signatures / lsh_topk: random-hyperplane sign-LSH — the scale
+  path. Signatures are computed in one Arrow-batched numpy matmul per
+  batch (vectorized pandas UDF, no per-row Python); candidates bucket
+  on signature bands, exact cosine re-ranks survivors.
+- ivf_build / ivf_topk: IVF variant — Lloyd-iteration centroids built
+  with DataFrame ops (posexplode + groupBy avg), probe the nprobe
+  nearest cells only.
+
+Determinism: all floating math that an oracle checks is done in double
+precision with a fixed left-to-right fold (F.aggregate), then rounded
+to 6 decimals — bit-identical to DuckDB's sequential list_sum over the
+same values.
+
+Scale notes: brute force is O(n·q) — fine for a broadcast-able query
+set, wrong for n×n; near-dup at 100 TB goes through sign-LSH banding
+(shuffle on band key only) exactly like MinHash/SimHash in
+analysis.dedup. IVF bounds each probe to nprobe/k of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+LSH_SEED = 42
+
+
+def _dot_expr(a, b) -> F.Column:
+    """Deterministic double dot product: left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_expr(a) -> F.Column:
+    return F.sqrt(_dot_expr(a, a))
+
+
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    return emb.withColumn("norm", _norm_expr(F.col(col)))
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact brute-force top-k by cosine for each query vector.
+
+    ``queries``: (query_id, qvec). The query side is broadcast — at
+    scale this is the classic small-q × huge-n pattern: one scan of the
+    corpus, no shuffle until the tiny per-query top-k window.
+    Output: (query_id, vec_id, cosine, rnk), rnk 1..k, ties broken by
+    vec_id for determinism.
+    """
+    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_expr(F.col("embedding"), F.col("qvec"))
+                / (F.col("norm") * _norm_expr(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Exact all-pairs cosine near-dup: (vec_a, vec_b, cosine) with
+    vec_a < vec_b and cosine >= threshold. O(n^2) — the oracle-checked
+    baseline; the scale path is lsh_topk's banding."""
+    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("nna"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nnb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot_expr("ea", "eb") / (F.col("nna") * F.col("nnb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = LSH_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, nbits))
+
+
+def lsh_signatures(
+    emb: DataFrame, dim: int = 64, nbits: int = 16, seed: int = LSH_SEED
+) -> DataFrame:
+    """Sign-LSH signature per vector: bit j = (e · h_j) >= 0, packed to
+    one long. One numpy matmul per Arrow batch — fully vectorized."""
+    planes = _hyperplanes(dim, nbits, seed)
+    b_planes = emb.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    def sign(batches):
+        H = b_planes.value
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (M @ H) >= 0.0
+            pdf = pdf[["vec_id"]].copy()
+            pdf["sig"] = bits @ weights
+            yield pdf
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sign, schema="vec_id long, sig long"
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 16,
+    max_hamming: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors whose LSH
+    signature is within ``max_hamming`` sign-bits of the query's
+    (lossless chunk-band join, pigeonhole over max_hamming+1 chunks),
+    re-ranked by exact cosine. Output like cosine_topk.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = nbits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    sigs = lsh_signatures(emb, dim=dim, nbits=nbits)
+    qsigs = lsh_signatures(
+        queries.select(F.col("query_id").alias("vec_id"),
+                       F.col("qvec").alias("embedding")),
+        dim=dim, nbits=nbits,
+    ).select(F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"))
+
+    def chunked(df, sig_col, id_col):
+        return df.select(
+            id_col,
+            sig_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"shiftright({sig_col}, {c * chunk_bits}) % {mask + 1}"
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("c", "chunk"),
+        )
+
+    cands = (
+        chunked(sigs, "sig", "vec_id")
+        .join(chunked(qsigs, "qsig", "query_id"), ["c", "chunk"])
+        .filter(
+            (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_hamming)
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_expr("embedding", "qvec")
+                / (F.col("norm") * _norm_expr(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def ivf_build(
+    emb: DataFrame, n_cells: int = 16, iters: int = 2
+) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids via ``iters`` Lloyd
+    steps, all DataFrame ops. Init: cell = vec_id % n_cells
+    (deterministic). Returns (cell, centroid:array<double>)."""
+    assigned = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.col("vec_id") % n_cells).cast("int").alias("cell"),
+    )
+    for _ in range(iters):
+        cents = (
+            assigned.select("cell", F.posexplode("e").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "m"))
+                ).alias("im")
+            )
+            .select(
+                "cell", F.expr("transform(im, x -> x.m)").alias("centroid")
+            )
+        )
+        dists = assigned.crossJoin(
+            F.broadcast(cents.select(F.col("cell").alias("c2"), "centroid"))
+        ).withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("e", "centroid", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c2").asc())
+        assigned = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", F.col("c2").alias("cell"))
+        )
+    return (
+        assigned.select("cell", F.posexplode("e").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: assign corpus to nearest centroid, probe the nprobe
+    nearest cells per query, exact cosine within probed cells."""
+    assigned = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "centroid",
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    corpus_cells = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    qcells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec").cast("array<double>"),
+                    "centroid",
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d2").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        corpus_cells.join(qcells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_expr("embedding", "qvec")
+                / (_norm_expr(F.col("embedding")) * _norm_expr(F.col("qvec"))),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis over the ``documents`` table (task brief surface):
+language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting
+(rolling-hash / bottom-k sketch).
+
+Every formula is plain Catalyst arithmetic so the DuckDB oracle can
+evaluate the identical expression — no model files, no Python UDFs.
+At 100 TB all four are row-local map operations (zero shuffle) except
+the corpus-level aggregates, which Catalyst partial-aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hash60_expr, shingles_expr, tokens_expr
+
+# language -> characteristic stopword set (tiny n-gram heuristic).
+# Deliberately deterministic + SQL-replicable; not a trained model.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "is", "in", "it"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "de", "et", "un"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+}
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"  # BPE-ish word/number pieces
+
+
+def _ratio_for(toks: Column, words: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6)
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc stopword-hit ratio per language + argmax prediction
+    (ties and all-zero fall to 'und'). Output:
+    (doc_id, en_ratio, es_ratio, fr_ratio, de_ratio, pred_lang)."""
+    toks = tokens_expr("text")
+    out = docs.select(
+        "doc_id",
+        *[
+            _ratio_for(toks, ws).alias(f"{lang}_ratio")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"{lang}_ratio") for lang in LANG_STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # first-match-wins on ties, fixed order
+        pred = pred.when(F.col(f"{lang}_ratio") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred.otherwise(F.lit("und")))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score:
+    n_tokens, n_distinct, type_token_ratio, mean_token_len,
+    stopword_ratio, quality (0..1-ish). Output keyed by doc_id."""
+    toks = tokens_expr("text")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    ttr = F.round(n_dis / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / F.greatest(n_tok, F.lit(1)).cast("double"),
+        6,
+    )
+    stop = _ratio_for(toks, LANG_STOPWORDS["en"])
+    quality = F.round(
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(stop * F.lit(10.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        mean_len.alias("mean_token_len"),
+        stop.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting both ways: whitespace split and the BPE-ish
+    regex. Output: (doc_id, ws_tokens, re_tokens, n_chars_check)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)")).alias(
+            "re_tokens"
+        ),
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+def fingerprints(docs: DataFrame, k: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Bottom-k document fingerprint: the k smallest distinct 60-bit
+    hashes of word shingles (a winnowing-style rolling sketch — two
+    docs sharing content share small hashes). Output:
+    (doc_id, fp:array<long>, fp_min:long)."""
+    sh = F.array_distinct(shingles_expr("text", shingle_n))
+    hashes = F.array_sort(F.transform(sh, hash60_expr))
+    return docs.select(
+        "doc_id",
+        F.slice(hashes, 1, k).alias("fp"),
+        F.element_at(hashes, 1).alias("fp_min"),
+    )

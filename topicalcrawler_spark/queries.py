@@ -1,0 +1,1242 @@
+"""The oracle-checked query registry (SURVEY.md §2 ⊕ rows + the
+training-data analysis surface).
+
+Each entry pairs a Spark DataFrame program with an independent ANSI-SQL
+oracle that DuckDB runs over the same parquet tables
+(``__spark_entry__.py`` contract). Design rules that make the
+cross-engine value-hash comparison exact:
+
+- Money-ish double sums go through DECIMAL(18,2/4) so partial-sum
+  order cannot change the result; averages/ratios are rounded.
+- DuckDB widens sum(BIGINT) to HUGEINT — oracles cast back to BIGINT;
+  Spark's int `size`/`length` meet DuckDB casts to INTEGER.
+- Every hash is md5-derived (analysis.hashing.hash60) so both engines
+  compute identical 60-bit values.
+- Every ranking has a total order (unique-key tiebreak) so top-k sets
+  are deterministic on both sides.
+- Spark 4 runs in ANSI mode: no out-of-bounds element_at, no unguarded
+  division — formulas guard with greatest(n,1) / F.get.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .analysis import dedup as dd
+from .analysis import similarity as sim
+from .analysis import text as tx
+from .analysis.hashing import hash60_expr, hash60_sql
+from .sources import scan
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Q:
+    fn: QueryFn
+    sql: str | None  # None -> driver records rows-only check
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+def _ship(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of how the
+    caller built its SparkSession (the driver harness builds its own)."""
+    from .session import _ship_package
+
+    _ship_package(spark)
+
+
+# =====================================================================
+# 2.D/2.F — aggregations, sort/limit
+# =====================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 ⊕ — TPC-H Q1-style partial+final hash aggregate."""
+    li = scan(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 ⊕ — global sort + limit (TakeOrdered); unique-key tiebreak."""
+    return (
+        scan(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ⊕ — count-distinct per group."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "percentiles_lineitem",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]),
+                          x -> round(x, 4)) AS price_pcts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ⊕ — exact interpolated percentiles (both engines use the
+    same (n-1)*p linear-interpolation definition)."""
+    return (
+        scan(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D)),"
+                " x -> round(x, 4))"
+            ).alias("price_pcts")
+        )
+    )
+
+
+@register(
+    "histogram_events",
+    """
+    SELECT CAST(FLOOR(value / 20) AS BIGINT) AS bucket, COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ⊕ — fixed-width histogram (deterministic, unlike
+    histogram_numeric whose bin placement is data-order dependent)."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy(F.floor(F.col("value") / 20).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "max_by_customer",
+    """
+    SELECT n_name, c_custkey AS top_cust, ROUND(c_acctbal, 2) AS top_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n_name
+                               ORDER BY c_acctbal DESC, c_custkey DESC) = 1
+    """,
+)
+def max_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ⊕ — top-1-per-group via max_by with a struct tiebreak (the
+    oracle states the same thing as a window)."""
+    c = scan(spark, "customer", sf_dir)
+    n = scan(spark, "nation", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias(
+                "top_cust"
+            ),
+            F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+        )
+    )
+
+
+@register(
+    "rollup_order_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ⊕ — rollup with grouping id."""
+    return (
+        scan(spark, "orders", sf_dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "cube_order_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ⊕ — cube."""
+    return (
+        scan(spark, "orders", sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count("*").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "grouping_sets_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ⊕ — explicit grouping sets via SQL."""
+    scan(spark, "orders", sf_dir).createOrReplaceTempView("tc_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM tc_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register("approx_distinct_users", None)  # HLL != DuckDB's sketch: rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — approx_count_distinct (frontier-cardinality estimator)."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+# =====================================================================
+# 2.C — joins
+# =====================================================================
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 ⊕ — multi-way equi join; dims broadcast explicitly."""
+    o = scan(spark, "orders", sf_dir)
+    c = scan(spark, "customer", sf_dir)
+    n = scan(spark, "nation", sf_dir)
+    r = scan(spark, "region", sf_dir)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 ⊕ — left semi."""
+    c = scan(spark, "customer", sf_dir)
+    o = scan(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 ⊕ — left anti (customers with no orders)."""
+    c = scan(spark, "customer", sf_dir)
+    o = scan(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "event_pairs_band_join",
+    """
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def event_pairs_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 ⊕ — range/theta join with an equi band key (user_id) so the
+    planner picks a hash join, never a broadcast-nested-loop."""
+    e = scan(spark, "events", sf_dir)
+    a = e.select(
+        F.col("user_id").alias("u_a"), F.col("ts").alias("ts_a"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = e.select(
+        F.col("user_id").alias("u_b"), F.col("ts").alias("ts_b"),
+        F.col("event_type").alias("type_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("u_a") == F.col("u_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "cross_join_region_nation",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 ⊕ — tiny-dim cross join."""
+    return scan(spark, "region", sf_dir).crossJoin(
+        scan(spark, "nation", sf_dir)
+    ).select("r_name", "n_name")
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS prior_view_id,
+           ROUND(epoch(p.ts) - epoch(v.ts), 6) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p.event_id
+                               ORDER BY v.ts DESC, v.event_id DESC) = 1
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 ⊕ — as-of join: for each purchase, the latest strictly-prior
+    view by the same user (window row_number idiom)."""
+    e = scan(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("prior_view_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("vts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("vts").desc(), F.col("prior_view_id").desc()
+    )
+    return (
+        p.join(v, ["u"])
+        .filter(F.col("vts") < F.col("pts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "prior_view_id",
+            F.round(
+                F.col("pts").cast("timestamp").cast("double")
+                - F.col("vts").cast("timestamp").cast("double"),
+                6,
+            ).alias("gap_s"),
+        )
+    )
+
+
+# =====================================================================
+# 2.E — window functions
+# =====================================================================
+
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/O2 ⊕ — ranking family, top-3 per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        scan(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS gap_days
+    FROM orders
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 ⊕ — lag/lead analytic (inter-order gap per customer)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return scan(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ⊕ — frame spec: running total per customer (decimal-exact)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scan(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("running_total"),
+    )
+
+
+# =====================================================================
+# 2.G — set operations
+# =====================================================================
+
+
+@register(
+    "intersect_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 ⊕ — intersect (customers active in both years)."""
+    o = scan(spark, "orders", sf_dir)
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "except_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 ⊕ — except (active in 1995, gone in 1996)."""
+    o = scan(spark, "orders", sf_dir)
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+@register(
+    "union_parts",
+    """
+    SELECT p_partkey, p_retailprice, 'cheap' AS tag FROM part WHERE p_retailprice < 950
+    UNION ALL
+    SELECT p_partkey, p_retailprice, 'pricey' AS tag FROM part WHERE p_retailprice > 1800
+    """,
+)
+def union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 ⊕ — union all with provenance tag."""
+    p = scan(spark, "part", sf_dir)
+    cheap = p.filter(F.col("p_retailprice") < 950).select(
+        "p_partkey", "p_retailprice", F.lit("cheap").alias("tag")
+    )
+    pricey = p.filter(F.col("p_retailprice") > 1800).select(
+        "p_partkey", "p_retailprice", F.lit("pricey").alias("tag")
+    )
+    return cheap.unionByName(pricey)
+
+
+# =====================================================================
+# 2.H — scalar function families
+# =====================================================================
+
+
+@register(
+    "string_functions_part",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           substring(p_name, 1, 5) AS prefix5,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H string family ⊕."""
+    return scan(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@register(
+    "datetime_functions_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           COUNT(*) AS n,
+           CAST(MIN(o_orderdate + INTERVAL 7 DAY) AS TIMESTAMP) AS first_plus7,
+           CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS max_days_since
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H date/time family ⊕."""
+    o = scan(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+            ).alias("first_plus7"),
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+                ).cast("long")
+            ).alias("max_days_since"),
+        )
+    )
+
+
+@register(
+    "math_hash_functions",
+    f"""
+    SELECT p_partkey,
+           abs(p_size - 25) AS size_dist,
+           ROUND(ln(p_retailprice), 6) AS ln_price,
+           ROUND(sqrt(p_retailprice), 6) AS sqrt_price,
+           p_partkey % 7 AS mod7,
+           md5(p_name) AS name_md5,
+           {hash60_sql("p_name")} AS name_h60
+    FROM part
+    """,
+)
+def math_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H math + hash families ⊕ (md5/hash60 parity check)."""
+    return scan(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("ln_price"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("sqrt_price"),
+        (F.col("p_partkey") % 7).alias("mod7"),
+        F.md5("p_name").alias("name_md5"),
+        hash60_expr("p_name").alias("name_h60"),
+    )
+
+
+@register(
+    "array_functions_docs",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           (list_sort(list_distinct(string_split(text, ' '))))[1:3] AS first3,
+           list_sort(list_distinct(string_split(text, ' ')))[-1] AS last_tok
+    FROM documents
+    """,
+)
+def array_functions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H array family ⊕ — split/distinct/sort/slice/element."""
+    toks = F.split(F.col("text"), " ")
+    sorted_d = F.array_sort(F.array_distinct(toks))
+    return scan(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.slice(sorted_d, 1, 3).alias("first3"),
+        F.element_at(sorted_d, -1).alias("last_tok"),
+    )
+
+
+@register(
+    "json_functions_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H json family ⊕ — get_json_object over events.props."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        scan(spark, "events", sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "conditional_functions_customer",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def conditional_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.H conditional family ⊕ — when/otherwise, coalesce, nullif."""
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+    return (
+        scan(spark, "customer", sf_dir)
+        .groupBy(bucket.alias("bal_bucket"), seg.alias("seg"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# 2.I — streaming operators, batch-checkable forms (ST2/ST3/ST4)
+# =====================================================================
+
+
+@register(
+    "tumbling_window_events",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 ⊕ — tumbling 1h window agg (same F.window the streaming
+    pipeline uses; epoch-aligned, so equals date_trunc('hour'))."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "sliding_window_events",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 ⊕ — sliding window (1h size, 15m slide): every event lands
+    in exactly 4 windows."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+@register(
+    "session_window_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 ⊕ — session windows (30 min gap) per user; the oracle is the
+    classic gaps-and-islands formulation."""
+    return (
+        scan(spark, "events", sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# =====================================================================
+# Crawl-domain operators on oracle-checkable synthesized columns
+# =====================================================================
+
+_URL_BUILD_SQL = """
+    concat('HTTP://Host', CAST(o_custkey % 50 AS VARCHAR), '.Example.COM:80/path/',
+           CAST(o_orderkey % 16 AS VARCHAR),
+           CASE WHEN o_orderkey % 3 = 0 THEN '?b=2&a=1'
+                WHEN o_orderkey % 3 = 1 THEN '?a=1&b=2' ELSE '' END,
+           CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END)
+"""
+
+_URL_CANON_SQL = """
+    concat('http://host', CAST(o_custkey % 50 AS VARCHAR), '.example.com/path/',
+           CAST(o_orderkey % 16 AS VARCHAR),
+           CASE WHEN o_orderkey % 3 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)
+"""
+
+
+def _dirty_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = scan(spark, "orders", sf_dir)
+    url = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".Example.COM:80/path/"),
+        (F.col("o_orderkey") % 16).cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0, "?b=2&a=1")
+        .when(F.col("o_orderkey") % 3 == 1, "?a=1&b=2")
+        .otherwise(""),
+        F.when(F.col("o_orderkey") % 5 == 0, "#frag").otherwise(""),
+    )
+    return o.select("o_orderkey", url.alias("url"))
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    SELECT o_orderkey, {_URL_BUILD_SQL} AS url, {_URL_CANON_SQL} AS url_canon
+    FROM orders
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/U1 ⊕ — canon_udf vs an oracle that constructs the canonical
+    form directly (lowercased host, :80 stripped, fragment dropped,
+    params sorted) — a true independent check of the rule set."""
+    from .functions import canon_udf
+
+    _ship(spark)
+    return _dirty_urls(spark, sf_dir).withColumn("url_canon", canon_udf("url"))
+
+
+@register(
+    "url_host_hash",
+    f"""
+    WITH c AS (
+      SELECT o_orderkey, o_custkey, {_URL_CANON_SQL} AS url_canon FROM orders
+    )
+    SELECT o_orderkey,
+           concat('host', CAST(o_custkey % 50 AS VARCHAR), '.example.com') AS host,
+           {hash60_sql("url_canon")} AS url_h60
+    FROM c
+    """,
+)
+def url_host_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 ⊕ — host extraction (parse_url) + 60-bit canonical-URL
+    hash; the oracle builds the host string independently."""
+    from .functions import canon_udf, host_expr
+
+    _ship(spark)
+    return (
+        _dirty_urls(spark, sf_dir)
+        .withColumn("url_canon", canon_udf("url"))
+        .select(
+            "o_orderkey",
+            host_expr("url_canon").alias("host"),
+            hash60_expr("url_canon").alias("url_h60"),
+        )
+    )
+
+
+@register(
+    "per_host_topk_schedule",
+    """
+    WITH frontier AS (
+      SELECT concat('h', CAST(o_custkey % 97 AS VARCHAR)) AS host,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS relevance_q,
+             o_orderkey % 5 AS depth,
+             o_orderkey AS discovery_seq
+      FROM orders
+    )
+    SELECT host, relevance_q, depth, discovery_seq
+    FROM frontier
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY relevance_q DESC, depth, discovery_seq) <= 3
+    """,
+)
+def per_host_topk_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P6 ⊕ — the core politeness scheduler (salted two-stage
+    top-k) checked against a plain-window oracle on a synthesized
+    frontier: identical results prove the salt is result-invariant."""
+    from .operators.politeness import select_per_host_topk
+
+    o = scan(spark, "orders", sf_dir)
+    frontier = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 97).cast("string")).alias(
+            "host"
+        ),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("relevance_q"),
+        (F.col("o_orderkey") % 5).alias("depth"),
+        F.col("o_orderkey").alias("discovery_seq"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+        F.xxhash64(F.col("o_orderkey")).alias("url_hash"),
+        F.lit(3).alias("budget_per_round"),
+    )
+    return select_per_host_topk(frontier).select(
+        "host", "relevance_q", "depth", "discovery_seq"
+    )
+
+
+# =====================================================================
+# Training-data analysis surface (dedup / text / embeddings)
+# =====================================================================
+
+_TOKS_SQL = "list_distinct(string_split(text, ' '))"
+
+_JACCARD_BRUTE_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.toks, b.toks)) /
+                   CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
+                   6) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ⊕ — hash-groupBy."""
+    return dd.exact_dedup(scan(spark, "documents", sf_dir))
+
+
+@register("dedup_ngram_jaccard", _JACCARD_BRUTE_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup ⊕ — postings-join exact Jaccard vs the
+    brute-force all-pairs oracle."""
+    return dd.jaccard_pairs(scan(spark, "documents", sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _JACCARD_BRUTE_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup ⊕ — with rows_per_band=1 the candidate recall
+    at j>=0.5 is 1-(1-j)^64 (miss < 2^-64), and exact-Jaccard
+    verification removes all false positives, so the output equals the
+    brute-force oracle."""
+    return dd.minhash_lsh_pairs(
+        scan(spark, "documents", sf_dir), threshold=0.5, rows_per_band=1
+    )
+
+
+_SIMHASH_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, {hash60_sql("tok")} AS th FROM tok
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
+@register("simhash_docs", _SIMHASH_SQL)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash ⊕ — 60-bit per-doc fingerprint, bit-for-bit vs oracle."""
+    return dd.simhash(scan(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH s AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup ⊕ — pigeonhole chunk-band join (lossless for
+    hamming<=3) vs brute-force oracle."""
+    return dd.simhash_pairs(scan(spark, "documents", sf_dir), max_hamming=3)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "embedding_topk_cosine",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, nrm FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round({_DOT_SQL.replace("a.embedding", "q.embedding")} / (b.nrm * q.nrm), 6) AS cosine
+      FROM q JOIN n b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ⊕ — the ANN correctness baseline."""
+    emb = scan(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_neardup_cosine",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup ⊕ — exact all-pairs baseline."""
+    return sim.cosine_neardup(scan(spark, "embeddings", sf_dir), threshold=0.4)
+
+
+@register("embedding_ann_lsh", None)  # approximate by design: rows-only
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (scale path) — approximate, so no SQL oracle; its
+    recall vs the exact baseline is asserted in tests."""
+    _ship(spark)
+    emb = scan(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return sim.lsh_topk(emb, queries, k=10)
+
+
+@register("embedding_ann_ivf", None)  # approximate by design: rows-only
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (scale path) — coarse-quantizer probe, rows-only."""
+    emb = scan(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = sim.ivf_build(emb, n_cells=8, iters=1)
+    return sim.ivf_topk(emb, queries, cents, k=10, nprobe=3)
+
+
+# --------------------------------------------------------------- text ops
+
+_STOP = {k: "', '".join(v) for k, v in tx.LANG_STOPWORDS.items()}
+
+
+def _ratio_sql(lang: str) -> str:
+    return (
+        f"round(len(list_filter(toks, t -> list_contains(['{_STOP[lang]}'], t)))"
+        f" / CAST(greatest(len(toks), 1) AS DOUBLE), 6)"
+    )
+
+
+@register(
+    "langid_docs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    r AS (
+      SELECT doc_id,
+             {_ratio_sql("en")} AS en_ratio,
+             {_ratio_sql("es")} AS es_ratio,
+             {_ratio_sql("fr")} AS fr_ratio,
+             {_ratio_sql("de")} AS de_ratio
+      FROM t
+    )
+    SELECT doc_id, en_ratio, es_ratio, fr_ratio, de_ratio,
+           CASE WHEN greatest(en_ratio, es_ratio, fr_ratio, de_ratio) <= 0 THEN 'und'
+                WHEN en_ratio = greatest(en_ratio, es_ratio, fr_ratio, de_ratio) THEN 'en'
+                WHEN es_ratio = greatest(en_ratio, es_ratio, fr_ratio, de_ratio) THEN 'es'
+                WHEN fr_ratio = greatest(en_ratio, es_ratio, fr_ratio, de_ratio) THEN 'fr'
+                WHEN de_ratio = greatest(en_ratio, es_ratio, fr_ratio, de_ratio) THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM r
+    """,
+)
+def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic ⊕ — stopword-ratio argmax."""
+    return tx.lang_scores(scan(spark, "documents", sf_dir))
+
+
+@register(
+    "quality_docs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             round(len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS type_token_ratio,
+             round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_token_len,
+             round(len(list_filter(toks, t -> list_contains(['the', 'a', 'of', 'to', 'and', 'is', 'in', 'it'], t)))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_distinct, type_token_ratio, mean_token_len,
+           stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.4 + type_token_ratio * 0.4
+                 + least(stopword_ratio * 10.0, 1.0) * 0.2, 6) AS quality
+    FROM f
+    """,
+)
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring ⊕ — length/diversity/stopword composite."""
+    return tx.quality_scores(scan(spark, "documents", sf_dir))
+
+
+@register(
+    "token_stats_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{tx.TOKEN_REGEX}')) AS INT) AS re_tokens,
+           CAST(length(text) AS INT) AS n_chars_check
+    FROM documents
+    """,
+)
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting ⊕ — whitespace + BPE-ish regex."""
+    return tx.token_stats(scan(spark, "documents", sf_dir))
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 0)), "
+    "i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))"
+)
+
+
+@register(
+    "fingerprint_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform({_SHINGLES_SQL},
+                                                    s -> {hash60_sql("s")}))) AS hs
+      FROM documents
+    )
+    SELECT doc_id, hs[1:4] AS fp, hs[1] AS fp_min FROM s
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting ⊕ — bottom-k rolling-shingle sketch."""
+    return tx.fingerprints(scan(spark, "documents", sf_dir), k=4, shingle_n=3)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
