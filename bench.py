@@ -1,0 +1,113 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a 2-round
+synthetic-web crawl throughput measure.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "fetch_round_wall_s": ...}}
+
+Usage: python bench.py            # full headline set
+       SPARK_GRAFT_CPUS=8 python bench.py   # scaling-evidence runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Linear-cost, shuffle-representative subset of the registry: scans+agg,
+# multi-way join, window, band join, streaming-shaped windows, text
+# hashing pipelines, vector search, the politeness scheduler.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_rank_orders",
+    "event_pairs_band_join",
+    "tumbling_window_events",
+    "session_window_events",
+    "simhash_docs",
+    "fingerprint_docs",
+    "quality_docs",
+    "embedding_topk_cosine",
+    "per_host_topk_schedule",
+    "url_canonicalize",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from topicalcrawler_spark.queries import REGISTRY
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()  # materialize the full result
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return times
+
+
+def bench_crawl(spark, n_seeds: int = 2000, rounds: int = 2) -> dict:
+    """Crawl throughput: frontier URLs scheduled+fetched+deduped per
+    second over `rounds` rounds of the synthetic web."""
+    from topicalcrawler_spark.plans.round import CrawlConfig, run_crawl
+    from topicalcrawler_spark.sources import fixtures as fx
+
+    root = tempfile.mkdtemp(prefix="tc_bench_")
+    try:
+        seeds = os.path.join(root, "seeds.txt")
+        fx.write_seed_file(seeds, n=n_seeds)
+        cfg = CrawlConfig(root=os.path.join(root, "crawl"), use_bloom=True)
+        t0 = time.monotonic()
+        stats = run_crawl(spark, cfg, seeds, rounds=rounds)
+        wall = time.monotonic() - t0
+        processed = sum(s.get("n_pending", 0) + s.get("n_candidates", 0) for s in stats)
+        return {
+            "urls_per_sec": round(processed / wall, 1),
+            "fetch_round_wall_s": round(wall / rounds, 2),
+            "rounds": rounds,
+            "n_processed": processed,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    from topicalcrawler_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    # one warm-up action so JVM/codegen startup doesn't pollute timings
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    t0 = time.monotonic()
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark)
+    total = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_crawl_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "crawl": crawl,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

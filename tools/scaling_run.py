@@ -1,0 +1,83 @@
+"""One scaling-evidence run: a large-frontier crawl at one parallelism
+level. Invoked once per level by tools/run_scaling.py (fresh JVM each,
+same input) — the sandbox proxy for the north-rule's N vs 4N executor
+criterion (SURVEY.md §5.5).
+
+Prints one JSON line: {"cpus": N, "n_urls": ..., "rounds": ...,
+"wall_s": ..., "urls_per_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    from topicalcrawler_spark.plans.round import CrawlConfig, run_crawl
+    from topicalcrawler_spark.session import get_spark
+    from topicalcrawler_spark.sources import fixtures as fx
+
+    spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
+    spark.range(10_000).count()  # JVM warm-up
+
+    root = tempfile.mkdtemp(prefix=f"tc_scale_{cpus}_")
+    try:
+        seeds = os.path.join(root, "seeds.txt")
+        fx.write_seed_file(seeds, n=n_urls)
+        # budgets sized so successive rounds fetch comparable volumes
+        # (steady state); round 1 additionally pays python-worker
+        # spawn + JIT warmup, so efficiency is computed on rounds>=2
+        cfg = CrawlConfig(
+            root=os.path.join(root, "crawl"),
+            use_bloom=True,
+            default_budget=max(n_urls // 40, 1000),
+            budget_rows=[],
+            max_depth=4,
+        )
+        t0 = time.monotonic()
+        stats = run_crawl(spark, cfg, seeds, rounds=rounds)
+        wall = time.monotonic() - t0
+
+        def throughput(ss):
+            done = sum(s.get("n_fetched", 0) + s.get("n_candidates", 0) for s in ss)
+            t = sum(s.get("wall_s", 0) for s in ss)
+            return round(done / t, 1) if t else 0.0
+
+        steady = [s for s in stats if s["round"] >= 2] or stats
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "n_urls": n_urls,
+                    "rounds": rounds,
+                    "wall_s": round(wall, 2),
+                    "urls_per_sec": throughput(stats),
+                    "steady_urls_per_sec": throughput(steady),
+                    "steady_round_wall_s": round(
+                        sum(s["wall_s"] for s in steady) / len(steady), 2
+                    ),
+                    "per_round": [
+                        {k: s.get(k) for k in ("round", "n_pending", "n_fetched",
+                                               "n_candidates", "wall_s", "phases")}
+                        for s in stats
+                    ],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,40 @@ def relevance_q_udf(context: pd.Series) -> pd.Series:
     return pd.Series(score_q_batch(context.tolist()))
 
 
+def with_canon_and_relevance(
+    df, url_col: str = "url", ctx_col: str = "context"
+):
+    """U1+U2 fused into ONE Arrow pass (mapInPandas).
+
+    Chaining two separate python UDFs in a stage makes Spark attach
+    one python worker PER UDF PER task — a 32-task stage then runs 64+
+    workers and the spawn storm dominates small-batch latency. One
+    fused pass keeps it at one worker per task with identical results
+    (same canon_series / score_q_batch the scalar UDFs wrap).
+    Adds columns: url_canon:string, relevance_q:long.
+    """
+    from pyspark.sql import types as TT
+
+    out_schema = TT.StructType(
+        list(df.schema.fields)
+        + [
+            TT.StructField("url_canon", TT.StringType()),
+            TT.StructField("relevance_q", TT.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["url_canon"] = canon_series(pdf[url_col])
+            pdf["relevance_q"] = pd.Series(
+                score_q_batch(pdf[ctx_col].tolist()), index=pdf.index
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def host_expr(url_canon: str | Column = "url_canon") -> Column:
     """P3 — host extraction, JVM-side (parse_url strips any :port)."""
     c = F.col(url_canon) if isinstance(url_canon, str) else url_canon

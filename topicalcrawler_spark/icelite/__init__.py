@@ -83,7 +83,13 @@ def commit(
     parent = latest_snapshot_id(table_dir)
     snap_id = (parent or 0) + 1
     data_dir = os.path.join(table_dir, "data", f"snap-{snap_id:06d}")
-    df.write.mode("overwrite").parquet(data_dir)
+    # Dictionary encoding is pathological for fat unique BINARY values
+    # (the corpus `bytes` column: ~14x write slowdown hashing 25KB
+    # blobs into dict pages) and useless for the unique URL/hash
+    # columns — off for all engine tables.
+    df.write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(data_dir)
 
     files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
     # row counts from parquet footers — no second Spark job needed
@@ -115,10 +121,71 @@ def commit(
     return snap_id
 
 
+def commit_files(
+    table_dir: str,
+    data_dir: str,
+    round_n: int,
+    row_count: int,
+    meta: dict | None = None,
+    mode: str = "append",
+) -> int:
+    """Zero-copy commit (Iceberg ``add_files`` analogue): register
+    parquet files that ALREADY exist on disk as the next snapshot,
+    without reading or rewriting them.
+
+    The caller may record a logical view in ``meta``:
+      meta["select"] — selectExpr list applied at read time
+      meta["where"]  — filter applied at read time (before select)
+
+    This is how the corpus table avoids a second full pass over the
+    image bytes each round: the fetch stage's one parquet write IS the
+    corpus data; the commit is pure metadata. The extra (non-corpus)
+    columns in those files cost only cold storage — parquet is
+    columnar, so corpus readers never deserialize them.
+    """
+    parent = latest_snapshot_id(table_dir)
+    snap_id = (parent or 0) + 1
+    files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
+    if mode == "append" and parent is not None:
+        pm = read_manifest(table_dir, parent)
+        files = pm["files"] + files
+        row_count += pm["row_count"]
+        meta = meta or pm.get("meta")
+
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "files": files,
+        "row_count": row_count,
+        "round": round_n,
+        "meta": meta or {},
+    }
+    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
+    mpath = _manifest_path(table_dir, snap_id)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)
+    ltmp = _latest_path(table_dir) + ".tmp"
+    with open(ltmp, "w") as f:
+        json.dump({"snapshot_id": snap_id}, f)
+    os.replace(ltmp, _latest_path(table_dir))
+    return snap_id
+
+
+def next_data_dir(table_dir: str) -> str:
+    """Directory where the NEXT snapshot's data files belong — write
+    here first, then commit_files() to publish."""
+    snap_id = (latest_snapshot_id(table_dir) or 0) + 1
+    return os.path.join(table_dir, "data", f"snap-{snap_id:06d}")
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, snapshot_id: int | None = None
 ) -> DataFrame:
-    """DataFrame over one snapshot's exact file list (manifest pruning)."""
+    """DataFrame over one snapshot's exact file list (manifest
+    pruning); applies the manifest's logical view (where/select) when
+    the snapshot was committed via commit_files."""
     if snapshot_id is None:
         snapshot_id = latest_snapshot_id(table_dir)
         if snapshot_id is None:
@@ -129,4 +196,10 @@ def read_snapshot(
         return spark.read.parquet(
             os.path.join(table_dir, "data", f"snap-{snapshot_id:06d}")
         )
-    return spark.read.parquet(*manifest["files"])
+    df = spark.read.parquet(*manifest["files"])
+    meta = manifest.get("meta") or {}
+    if meta.get("where"):
+        df = df.where(meta["where"])
+    if meta.get("select"):
+        df = df.selectExpr(*meta["select"])
+    return df

@@ -79,15 +79,17 @@ def bloom_prefilter(
 
 
 def build_bloom_shards(
-    seen: DataFrame, n_shards: int, fpp: float = 0.01
+    seen: DataFrame, n_shards: int, fpp: float = 0.01, total: int | None = None
 ) -> tuple[list[bytes], int]:
     """A5 — fold the seen table's url_hashes into per-shard bitmaps via
     grouped-map applyInPandas (numpy bitwise fold); returns (bitmaps, k).
 
     All shards share one (n_bits, k) sizing derived from the largest
-    shard so probe code stays branch-free.
+    shard so probe code stays branch-free. Pass ``total`` (e.g. from an
+    icelite manifest row_count) to skip the sizing count job.
     """
-    total = seen.count()
+    if total is None:
+        total = seen.count()
     per_shard = max(total // max(n_shards, 1), 1)
     n_bits, k = bloom.params_for(int(per_shard * 1.5), fpp)
 

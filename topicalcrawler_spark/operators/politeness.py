@@ -59,9 +59,12 @@ def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> D
 def global_fetch_order(selected: DataFrame) -> DataFrame:
     """O1 — total fetch order within a round; trace_seq is the rank.
 
-    A single-partition window is fine here: the per-round selected set
-    is bounded by Σ budgets (hundreds of rows), not by frontier size.
-    At larger per-round volumes this becomes orderBy + zipWithIndex.
+    Scale contract: callers MUST project the payload columns away
+    first — rank only slim key columns.  The global row_number window
+    single-partitions its input; for key-only rows that is a few MB
+    per million URLs, and the per-round selected set is politeness-
+    budget-bounded (Σ budgets), never frontier-sized.  Ranking wide
+    rows (image bytes) here is the classic all-to-one-partition trap.
     """
     w = Window.orderBy(*order_cols())
     return selected.withColumn("trace_seq", F.row_number().over(w).cast("long"))

@@ -25,6 +25,7 @@ discovery_time = T0 + round seconds (deterministic, not wall-clock).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from datetime import timedelta
@@ -39,8 +40,8 @@ from ..functions import (
     canon_udf,
     host_expr,
     relevance_expr,
-    relevance_q_udf,
     url_hash_expr,
+    with_canon_and_relevance,
 )
 from ..operators.dedup import (
     anti_join_seen,
@@ -124,31 +125,85 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
 
 
 def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
-    """Execute one crawl round; returns the round's metric counters."""
+    """Execute one crawl round; returns the round's metric counters.
+
+    Action discipline: every Spark job costs fixed scheduling latency,
+    so counters come from manifest row_counts (free) or single merged
+    aggregations — never one .count() per metric.  Returned stats
+    include per-phase wall times (``phases``) for scaling diagnosis.
+    """
     t_start = time.monotonic()
-    frontier = icelite.read_snapshot(spark, cfg.table("frontier"))
-    n_pending = frontier.count()
+    phases: dict[str, float] = {}
+    _t = [t_start]
+
+    def mark(name: str) -> None:
+        now = time.monotonic()
+        phases[name] = round(now - _t[0], 2)
+        _t[0] = now
+    frontier_snap_id = icelite.latest_snapshot_id(cfg.table("frontier"))
+    n_pending = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
+        "row_count"
+    ]
     if n_pending == 0:
         return {"round": round_n, "n_pending": 0, "n_fetched": 0}
+    frontier = icelite.read_snapshot(spark, cfg.table("frontier"), frontier_snap_id)
 
-    # 2. robots gate (J2/J7/P5 — all JVM-side)
+    # 2. robots gate (J2/J7/P5 — all JVM-side); one merged agg job
     robots_cur = latest_robots(_robots_df(spark, cfg))
     gated = with_robots_decision(frontier, robots_cur).cache()
+    g = gated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("robots_allowed").cast("long")).alias("n_allowed"),
+    ).first()
+    n_blocked = int(g["n"] - g["n_allowed"])
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
-    n_blocked = gated.filter(~F.col("robots_allowed")).count()
+    mark("gate")
 
     # 3. per-host budget top-k (J3/W1/P6)
     selected = select_per_host_topk(
         with_budget(allowed, _budgets_df(spark, cfg), cfg.default_budget),
         salt=cfg.salt,
     )
+    # AQE coalesces the politeness window's shuffle down to ~1
+    # partition (its INPUT bytes are tiny) — but the next stage runs
+    # the CPU-heavy fetch UDF, which would then execute on one core.
+    # Re-spread explicitly by url_hash so fetch parallelism follows
+    # cores, not input bytes (the cheap-input/expensive-UDF AQE trap).
+    par = max(spark.sparkContext.defaultParallelism, cfg.salt)
+    selected = selected.repartition(par, "url_hash").cache()
 
-    # 4./5. fetch + global order
-    fetched = global_fetch_order(fetch_selected(selected)).cache()
-    n_fetched = fetched.count()
-    n_errors = fetched.filter(F.col("http_status") != 200).count()
+    # 4. fetch ONCE, directly into the corpus table's next snapshot
+    # directory — not a JVM cache (a round's images must never need to
+    # fit in executor memory), and not a scratch that gets re-copied.
+    # Every later consumer reads a PRUNED projection of these columnar
+    # files: trace/links never deserialize the image bytes, and the
+    # corpus "write" below is a zero-copy metadata commit.
+    fetch_dir = icelite.next_data_dir(cfg.table("corpus"))
+    fetch_selected(selected).write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"  # fat binary col, see icelite
+    ).parquet(fetch_dir)
+    fetched = spark.read.parquet(fetch_dir)
+    fr = fetched.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("http_status") != 200).cast("long")).alias("n_err"),
+        F.sum(F.col("image_id").isNotNull().cast("long")).alias("n_img"),
+    ).first()
+    n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
+    n_images = int(fr["n_img"] or 0)
+    mark("fetch")
 
-    trace = fetched.select(
+    trace = global_fetch_order(
+        fetched.select(
+            "url_canon",
+            "host",
+            "depth",
+            "relevance_q",
+            "discovery_time",
+            "discovery_seq",
+            "http_status",
+            "image_id",
+        )
+    ).select(
         "trace_seq",
         F.lit(round_n).alias("round"),
         "url_canon",
@@ -160,18 +215,61 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         "image_id",
     )
     icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
+    mark("trace")
 
-    # 6. corpus append (authoritative schema, BASELINE.json:15)
-    corpus_rows = fetched.filter(F.col("image_id").isNotNull()).select(
-        "image_id",
-        F.col("image_bytes").alias("bytes"),
-        F.col("img_w").alias("w"),
-        F.col("img_h").alias("h"),
-        F.col("img_fmt").alias("fmt"),
-        "caption",
-        "phash",
+    # 5b. U4 decode/phash-verify (north_star: "images decoded/
+    # phash-verified in Arrow-batch UDFs"): re-decode every fetched
+    # image from its bytes and recompute dims + DCT phash against the
+    # carried metadata. Reads only (image cols) of the fetch files —
+    # page-cache-hot — and emits one counter; CPU-parallel, no output.
+    from ..operators.images import decode_verify
+
+    n_verify_failed = int(
+        decode_verify(
+            fetched.filter(F.col("image_id").isNotNull()).select(
+                "image_id", F.col("image_bytes").alias("bytes"),
+                F.col("img_w").alias("w"), F.col("img_h").alias("h"),
+                F.col("img_fmt").alias("fmt"), "phash",
+            )
+        )
+        .agg(
+            F.sum(
+                (
+                    ~F.col("decode_ok")
+                    | (F.col("dec_phash") != F.col("phash"))
+                    | (F.col("dec_w") != F.col("w"))
+                    | (F.col("dec_h") != F.col("h"))
+                ).cast("long")
+            ).alias("bad")
+        )
+        .first()["bad"]
+        or 0
     )
-    icelite.commit(corpus_rows, cfg.table("corpus"), round_n, mode="append")
+    mark("verify")
+
+    # 6. corpus append (authoritative schema, BASELINE.json:15) —
+    # zero-copy: the fetch output files ARE the corpus data; the
+    # manifest records the projection onto the corpus schema.
+    icelite.commit_files(
+        cfg.table("corpus"),
+        fetch_dir,
+        round_n,
+        row_count=n_images,
+        meta={
+            "where": "image_id IS NOT NULL",
+            "select": [
+                "image_id",
+                "image_bytes AS bytes",
+                "img_w AS w",
+                "img_h AS h",
+                "img_fmt AS fmt",
+                "caption",
+                "phash",
+            ],
+        },
+        mode="append",
+    )
+    mark("corpus")
 
     # 7. new links
     discovery_time = fx.T0 + timedelta(seconds=round_n)
@@ -193,7 +291,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             "parent_seq",
             "idx",
         )
-        .withColumn("url_canon", canon_udf("url"))
+    )
+    # canon (U1) + relevance (U2) fused into one Arrow pass — one
+    # python worker per task instead of one per UDF per task
+    links = (
+        with_canon_and_relevance(links)
         .withColumn("url_hash", url_hash_expr("url_canon"))
         .withColumn("host", host_expr("url_canon"))
         .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
@@ -202,7 +304,6 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             "discovery_seq",
             F.col("parent_seq") * SEQ_STRIDE + F.col("idx") + 1,
         )
-        .withColumn("relevance_q", relevance_q_udf("context"))
         .withColumn("relevance", relevance_expr("relevance_q"))
         .withColumn("round", F.lit(round_n))
         .withColumn("status", F.lit("pending"))
@@ -218,10 +319,15 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     )
     links = dedup_batch(links)
 
-    seen = icelite.read_snapshot(spark, cfg.table("seen"))
+    seen_snap_id = icelite.latest_snapshot_id(cfg.table("seen"))
+    n_seen = icelite.read_manifest(cfg.table("seen"), seen_snap_id)["row_count"]
+    seen = icelite.read_snapshot(spark, cfg.table("seen"), seen_snap_id)
     n_candidates = links.cache().count()
+    mark("links")
     if cfg.use_bloom:
-        shard_bits, k = build_bloom_shards(seen, cfg.n_shards, cfg.bloom_fpp)
+        shard_bits, k = build_bloom_shards(
+            seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
+        )
         probed = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
         # definitely-unseen rows skip the exact join; possible hits go
         # through the exact anti-join (the authority)
@@ -231,15 +337,17 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     else:
         new_links = anti_join_seen(links, seen)
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
-    n_new = new_links.count()
 
     # 8. commits: seen += new, frontier = residual ∪ new
-    icelite.commit(
+    # (n_new comes free from the append-commit's manifest delta)
+    seen_snap = icelite.commit(
         new_links.select("url_canon", "url_hash"),
         cfg.table("seen"),
         round_n,
         mode="append",
     )
+    n_new = icelite.read_manifest(cfg.table("seen"), seen_snap)["row_count"] - n_seen
+    mark("seen")
     residual = allowed.join(
         selected.select("url_canon"), "url_canon", "left_anti"
     ).select(*[f.name for f in FRONTIER.fields])
@@ -249,6 +357,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     frontier_snap = icelite.commit(
         new_frontier, cfg.table("frontier"), round_n, mode="replace"
     )
+    mark("frontier")
 
     # lineage: per-partition fetch metrics + a round-total row (S7)
     per_part = (
@@ -270,19 +379,22 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         )
     )
     icelite.commit(per_part, cfg.table("lineage"), round_n, mode="append")
+    mark("lineage")
 
     stats = {
+        "phases": phases,
         "round": round_n,
         "n_pending": n_pending,
         "n_robots_blocked": int(n_blocked),
         "n_fetched": int(n_fetched),
         "n_errors": int(n_errors),
+        "n_verify_failed": n_verify_failed,
         "n_candidates": int(n_candidates),
         "n_new": int(n_new),
         "wall_s": time.monotonic() - t_start,
     }
     gated.unpersist()
-    fetched.unpersist()
+    selected.unpersist()
     links.unpersist()
     new_links.unpersist()
     return stats
