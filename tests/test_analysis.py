@@ -1,0 +1,138 @@
+"""Training-data analysis operators: LSH recall vs exact baselines,
+hash parity with DuckDB, multimodal plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from topicalcrawler_spark.analysis import dedup as dd
+from topicalcrawler_spark.analysis import media, similarity as sim
+from topicalcrawler_spark.analysis.hashing import hash60_expr, hash60_sql
+from topicalcrawler_spark.sources import fixtures as fx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_hash60_parity_with_duckdb(spark):
+    vals = ["", "a", "hello world", "Ünï¢ødé", "x" * 500]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", hash60_expr("v").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (dh,) = con.execute(
+            f"SELECT {hash60_sql('?')}", [v]
+        ).fetchone()
+        assert got[v] == dh, v
+
+
+def test_minhash_lsh_equals_bruteforce_jaccard(spark):
+    docs = _docs(spark)
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == brute
+    assert len(brute) > 0  # sanity: the threshold actually selects pairs
+
+
+def test_simhash_identical_docs_pair(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.lsh_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # deterministic given LSH_SEED=42
+
+
+def test_ivf_topk_runs_and_ranks(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = sim.ivf_build(emb, n_cells=4, iters=1)
+    assert cents.count() == 4
+    out = sim.ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_media_decode_features_and_resize(spark):
+    corpus = spark.createDataFrame(fx.make_corpus(n=30), schema=None).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    feats = {r["image_id"]: r for r in media.decode_features(corpus).collect()}
+    stored = {r["image_id"]: r for r in corpus.collect()}
+    assert len(feats) == 30
+    for iid, r in feats.items():
+        assert r["decode_ok"]
+        assert 0.0 <= r["mean_r"] <= 255.0
+        assert r["dec_phash"] == stored[iid]["phash"]
+
+    small = media.resize_images(corpus, out_w=16, out_h=16).collect()
+    from topicalcrawler_spark.core.imagecodec import decode
+
+    for r in small:
+        px = decode(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (16, 16, 3)
+
+
+def test_media_frame_sampling_stub(spark):
+    media_df = spark.createDataFrame(
+        [("vid-1", b"\x00\x01"), ("vid-2", b"\x02")],
+        "media_id string, payload binary",
+    )
+    frames = media.sample_frames(media_df, frames_per_item=4).collect()
+    assert len(frames) == 8
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+    # deterministic stub: same media_id+idx -> same phash
+    again = media.sample_frames(media_df, frames_per_item=4).collect()
+    assert {(r["media_id"], r["frame_idx"], r["frame_phash"]) for r in frames} == {
+        (r["media_id"], r["frame_idx"], r["frame_phash"]) for r in again
+    }

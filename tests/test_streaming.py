@@ -1,0 +1,117 @@
+"""Streaming operators (§2.I): batch/stream parity via shared window
+expressions, stateful politeness across micro-batches, icelite sinks."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from topicalcrawler_spark import icelite, streaming as st
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_tumbling_counts_matches_batch(spark):
+    out = st.tumbling_counts(st.events_stream(spark, SF))
+    st.drain_to_memory(out, "t_tumbling", output_mode="update")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("t_tumbling").collect()
+    }
+    expect = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            _batch_events(spark)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("sum_value"),
+            )
+            .select(F.col("win.start").alias("win_start"), "event_type", "n",
+                    "sum_value")
+            .collect()
+        )
+    }
+    assert got == expect
+
+
+def test_session_window_stream_matches_batch(spark):
+    out = st.session_counts(st.events_stream(spark, SF))
+    # session-window aggregation only supports complete/append output
+    st.drain_to_memory(out, "t_sessions", output_mode="complete")
+    n_stream = spark.table("t_sessions").count()
+    n_batch = (
+        _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert n_stream == n_batch > 0
+
+
+def test_dedup_stream(spark):
+    out = st.dedup_stream(st.events_stream(spark, SF))
+    st.drain_to_memory(out, "t_dedup", output_mode="append")
+    n_stream = spark.table("t_dedup").count()
+    n_keys = _batch_events(spark).select("user_id", "event_type").distinct().count()
+    assert n_stream == n_keys
+
+
+def test_stateful_politeness_across_batches(spark):
+    # 3 parquet files -> 3 micro-batches; token bucket must carry
+    # state between them and admit at most the per-host budget total
+    tmp = tempfile.mkdtemp()
+    ev = _batch_events(spark).limit(300).repartition(3)
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "in"))
+    stream = (
+        spark.readStream.schema(st.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(tmp, "in"))
+    )
+    out = st.stateful_politeness(stream, tokens_per_host=40)
+    st.drain_to_memory(out, "t_budget", output_mode="update")
+    rows = spark.table("t_budget").collect()
+    assert len(rows) > 0
+    per_host: dict[str, dict] = {}
+    for r in rows:
+        h = per_host.setdefault(
+            r["host"], {"requested": 0, "admitted": 0, "last_left": None}
+        )
+        h["requested"] += r["n_requested"]
+        h["admitted"] += r["n_admitted"]
+        h["last_left"] = r["tokens_left"]
+    for h, v in per_host.items():
+        assert v["admitted"] == min(v["requested"], 40), (h, v)
+        assert v["last_left"] == 40 - v["admitted"], (h, v)
+
+
+def test_run_to_icelite_commits_snapshots(spark):
+    tmp = tempfile.mkdtemp()
+    table = os.path.join(tmp, "stream_counts")
+    out = st.tumbling_counts(st.events_stream(spark, SF))
+    st.run_to_icelite(out, table, os.path.join(tmp, "ckpt"))
+    hist = icelite.history(table)
+    assert len(hist) >= 1
+    df = icelite.read_snapshot(spark, table)
+    assert df.count() > 0
+    assert "epoch" in hist[-1]["meta"]
+
+
+def test_sliding_counts_stream(spark):
+    out = st.sliding_counts(st.events_stream(spark, SF))
+    st.drain_to_memory(out, "t_sliding", output_mode="update")
+    # each event lands in exactly 4 windows of the (1h, 15m) spec
+    total_stream = (
+        spark.table("t_sliding").agg(F.sum("n").alias("s")).first()["s"]
+    )
+    n_events = _batch_events(spark).count()
+    assert total_stream == 4 * n_events

@@ -45,9 +45,21 @@ def main() -> None:
             budget_rows=[],
             max_depth=4,
         )
+        def steal_jiffies() -> int:
+            try:
+                with open("/proc/stat") as f:
+                    return int(f.readline().split()[8])
+            except Exception:
+                return 0
+
+        st0 = steal_jiffies()
         t0 = time.monotonic()
         stats = run_crawl(spark, cfg, seeds, rounds=rounds)
         wall = time.monotonic() - t0
+        # hypervisor CPU-steal during the run (jiffies ~= 10ms of one
+        # core): this sandbox has a bursty noisy neighbor — recorded so
+        # throughput numbers can be judged against it
+        steal_s = (steal_jiffies() - st0) / 100.0
 
         def throughput(ss):
             done = sum(s.get("n_fetched", 0) + s.get("n_candidates", 0) for s in ss)
@@ -67,6 +79,7 @@ def main() -> None:
                     "steady_round_wall_s": round(
                         sum(s["wall_s"] for s in steady) / len(steady), 2
                     ),
+                    "cpu_steal_s": round(steal_s, 1),
                     "per_round": [
                         {k: s.get(k) for k in ("round", "n_pending", "n_fetched",
                                                "n_candidates", "wall_s", "phases")}

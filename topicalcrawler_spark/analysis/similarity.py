@@ -143,13 +143,21 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     nbits: int = 16,
-    max_hamming: int = 4,
+    max_hamming: int = 6,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors whose LSH
     signature is within ``max_hamming`` sign-bits of the query's
     (lossless chunk-band join, pigeonhole over max_hamming+1 chunks),
     re-ranked by exact cosine. Output like cosine_topk.
+
+    Tuning note: sign-LSH separation depends on the data's neighbor
+    contrast — a pair at cosine c has expected signature hamming
+    nbits·acos(c)/π, so for weakly-clustered corpora (like the
+    sandbox's gaussian embeddings, where top-10 neighbors sit at
+    c≈0.4) a generous max_hamming is needed for recall; on strongly
+    clustered data tighten it (or raise nbits) to shrink candidates.
+    IVF (ivf_topk) is the better scale path when clusters exist.
     """
     n_chunks = max_hamming + 1
     chunk_bits = nbits // n_chunks

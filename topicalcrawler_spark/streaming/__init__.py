@@ -1,0 +1,207 @@
+"""Structured Streaming operators — SURVEY.md §2.I (ST1-ST8).
+
+The reference crawler is a synchronous loop with no streaming engine;
+in the Spark design "one crawl round" = one micro-batch. This module
+provides the streaming forms of the engine's operators over a
+fetch-event-shaped stream (the sandbox `events` table stands in,
+TESTDATA.md): watermarked windowed aggregation, streaming dedup
+(URL-seen in streaming mode), per-host stateful politeness
+(token bucket via applyInPandasWithState), and icelite-snapshot
+micro-batch sinks via foreachBatch.
+
+ST2/ST3/ST4 use the SAME F.window / F.session_window expressions as
+the batch queries the DuckDB oracle checks (queries.py) — batch/stream
+parity comes from sharing the expression, the core Structured
+Streaming design point.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import icelite
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S8 — the events table as a file stream (one parquet = one
+    micro-batch by default)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")  # source needs a dir
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST1+ST2 — watermarked tumbling-window counts per event type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST3 — 1h windows sliding every 15 minutes."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST4 — per-user session windows (gap-based)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST5 — streaming URL-seen: first occurrence per key wins; state
+    is bounded by the watermark (dropDuplicatesWithinWatermark), the
+    streaming analogue of the batch seen-set anti-join (J1)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+# ---------------------------------------------------------- ST6 politeness
+
+_BUDGET_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("batch_ts", T.TimestampType()),
+        T.StructField("n_requested", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("tokens_left", T.LongType()),
+    ]
+)
+_BUDGET_STATE = T.StructType([T.StructField("tokens", T.LongType())])
+
+
+def stateful_politeness(
+    stream: DataFrame,
+    tokens_per_host: int = 100,
+    host_col: str = "event_type",
+) -> DataFrame:
+    """ST6 — per-host token bucket across micro-batches
+    (applyInPandasWithState). Each group's state is its remaining
+    token count; a batch admits at most the tokens left. State is
+    keyed by HOST (bounded cardinality — SURVEY.md §7 hard part 6:
+    URL-grain state lives only in the seen table, never here)."""
+
+    def bucket(key, pdfs, state: GroupState):
+        (host,) = key
+        if state.exists:
+            (tokens,) = state.get
+        else:
+            tokens = tokens_per_host
+        n_req = 0
+        max_ts = None
+        for pdf in pdfs:
+            n_req += len(pdf)
+            m = pdf["ts"].max()
+            max_ts = m if max_ts is None else max(max_ts, m)
+        admitted = min(n_req, tokens)
+        tokens -= admitted
+        state.update((tokens,))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "batch_ts": [max_ts],
+                "n_requested": [n_req],
+                "n_admitted": [admitted],
+                "tokens_left": [tokens],
+            }
+        )
+
+    return stream.withColumn("host", F.col(host_col)).groupBy(
+        "host"
+    ).applyInPandasWithState(
+        bucket,
+        outputStructType=_BUDGET_OUT,
+        stateStructType=_BUDGET_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------- ST7/ST8 sinks
+
+
+def run_to_icelite(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """ST7/ST8 — drain the stream with availableNow, committing each
+    micro-batch as one icelite snapshot (epoch recorded in meta):
+    exactly the crawl loop's round-per-micro-batch shape, restartable
+    from the Spark checkpoint + icelite manifest chain."""
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        icelite.commit(
+            batch_df,
+            table_dir,
+            round_n=int(epoch_id),
+            meta={"epoch": int(epoch_id)},
+            mode="append",
+        )
+
+    (
+        df.writeStream.foreachBatch(commit_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def drain_to_memory(df: DataFrame, name: str, output_mode: str = "update"):
+    """Test helper: run the stream to completion into an in-memory
+    table; returns the owning query (already terminated)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
