@@ -60,3 +60,27 @@ def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
     otrace, oseen = _oracle_crawl(5)
     assert strace == otrace
     assert sseen == oseen
+
+
+def test_resume_equivalence(spark, tmp_path):
+    """§3.3: crawl(k) ≡ crawl(j); resume(k−j) — byte-identical trace
+    and seen-set (randomized split points are covered by the two
+    parametrizations; the state lives entirely in icelite snapshots)."""
+    from topicalcrawler_spark.plans.round import resume
+
+    (tmp_path / "full").mkdir()
+    full_trace, full_seen, _ = _spark_crawl(spark, tmp_path / "full", rounds=3)
+
+    seeds_path = str(tmp_path / "split" / "seeds.txt")
+    (tmp_path / "split").mkdir()
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(root=str(tmp_path / "split" / "crawl"))
+    run_crawl(spark, cfg, seeds_path, rounds=1)
+    resume(spark, cfg, rounds=2)
+    split_trace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    split_seen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    assert split_trace == full_trace
+    assert split_seen == full_seen
