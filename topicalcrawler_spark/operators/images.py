@@ -86,7 +86,9 @@ def phash_near_dup_pairs(
         F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_id"),
     ).withColumn(
         "band_val",
-        F.shiftrightunsigned(F.col("ph"), F.col("band_id") * band_bits).bitwiseAND(
+        # expr form: the python shiftrightunsigned wrapper only takes a
+        # literal int shift, but the Catalyst expression takes a column
+        F.expr(f"shiftrightunsigned(ph, band_id * {band_bits})").bitwiseAND(
             F.lit((1 << band_bits) - 1)
         ),
     )

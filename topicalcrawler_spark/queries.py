@@ -1234,6 +1234,38 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprints(scan(spark, "documents", sf_dir), k=4, shingle_n=3)
 
 
+# ------------------------------------------------- multimodal (rows-only)
+# The corpus table is not among the DuckDB oracle views, so these two are
+# rows-only checks here; their correctness is pytest-gated instead
+# (tests/test_analysis.py, tests/test_images.py) against the deterministic
+# corpus fixture, including recomputed-phash equality.
+
+
+@register("phash_neardup_corpus", None)
+def phash_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — phash near-duplicate pairs over the deterministic corpus
+    fixture (LSH band join + exact bit_count hamming verify)."""
+    from .operators.images import phash_near_dup_pairs
+    from .schemas import CORPUS
+    from .sources.fixtures import make_corpus
+
+    corpus = spark.createDataFrame(make_corpus(400, near_dup_rate=0.03), CORPUS)
+    return phash_near_dup_pairs(corpus, max_hamming=8)
+
+
+@register("corpus_decode_features", None)
+def corpus_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract over binary image columns
+    (Arrow-batch mapInPandas; real PPM/PNG/qraw decode, no PIL)."""
+    from .analysis.media import decode_features
+    from .schemas import CORPUS
+    from .sources.fixtures import make_corpus
+
+    _ship(spark)
+    corpus = spark.createDataFrame(make_corpus(200), CORPUS)
+    return decode_features(corpus)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
