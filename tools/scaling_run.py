@@ -31,7 +31,18 @@ def main() -> None:
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
     spark.range(10_000).count()  # JVM warm-up
 
-    root = tempfile.mkdtemp(prefix=f"tc_scale_{cpus}_")
+    # Crawl tables on tmpfs by default: this VM has ONE shared disk,
+    # so at higher core counts the round becomes write-bound — an
+    # artifact a real cluster doesn't have (distributed storage
+    # bandwidth scales with executor count). tmpfs gives IO that
+    # scales with cores, which is the right single-node proxy for the
+    # N-vs-4N comparison. Override with TC_SCALE_ROOT=/tmp to measure
+    # the disk-bound variant.
+    base = os.environ.get(
+        "TC_SCALE_ROOT",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    root = tempfile.mkdtemp(prefix=f"tc_scale_{cpus}_", dir=base)
     try:
         seeds = os.path.join(root, "seeds.txt")
         fx.write_seed_file(seeds, n=n_urls)
