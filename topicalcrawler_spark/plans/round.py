@@ -73,23 +73,35 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
+    # per-crawl memo of the static dim DataFrames (robots/budgets do
+    # not change between rounds; rebuilding + re-broadcasting them
+    # every round is pure serial driver overhead)
+    _dims: dict = field(default_factory=dict, repr=False, compare=False)
 
     def table(self, name: str) -> str:
         return os.path.join(self.root, name)
 
 
 def _robots_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    rows = [
-        (r["host"], r["fetched_at"], [(x["prefix"], x["allow"]) for x in r["rules"]],
-         r["crawl_delay"])
-        for r in cfg.robots_rows
-    ]
-    return spark.createDataFrame(rows, schema=ROBOTS)
+    if "robots" not in cfg._dims:
+        rows = [
+            (r["host"], r["fetched_at"],
+             [(x["prefix"], x["allow"]) for x in r["rules"]], r["crawl_delay"])
+            for r in cfg.robots_rows
+        ]
+        cfg._dims["robots"] = latest_robots(
+            spark.createDataFrame(rows, schema=ROBOTS)
+        ).cache()
+    return cfg._dims["robots"]
 
 
 def _budgets_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    rows = [(r["host"], r["budget_per_round"]) for r in cfg.budget_rows]
-    return spark.createDataFrame(rows, schema=HOST_BUDGET)
+    if "budgets" not in cfg._dims:
+        rows = [(r["host"], r["budget_per_round"]) for r in cfg.budget_rows]
+        cfg._dims["budgets"] = spark.createDataFrame(
+            rows, schema=HOST_BUDGET
+        ).cache()
+    return cfg._dims["budgets"]
 
 
 def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
@@ -148,8 +160,9 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         return {"round": round_n, "n_pending": 0, "n_fetched": 0}
     frontier = icelite.read_snapshot(spark, cfg.table("frontier"), frontier_snap_id)
 
-    # 2. robots gate (J2/J7/P5 — all JVM-side); one merged agg job
-    robots_cur = latest_robots(_robots_df(spark, cfg))
+    # 2. robots gate (J2/J7/P5 — all JVM-side); one merged agg job;
+    # the robots dim (as-of-resolved) is memoized across rounds
+    robots_cur = _robots_df(spark, cfg)
     gated = with_robots_decision(frontier, robots_cur).cache()
     g = gated.agg(
         F.count("*").alias("n"),
@@ -169,7 +182,9 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # the CPU-heavy fetch UDF, which would then execute on one core.
     # Re-spread explicitly by url_hash so fetch parallelism follows
     # cores, not input bytes (the cheap-input/expensive-UDF AQE trap).
-    par = max(spark.sparkContext.defaultParallelism, cfg.salt)
+    # 4x cores: fine-grained tasks keep the final scheduling wave
+    # short (per-URL fetch cost varies, so coarse tasks straggle).
+    par = max(spark.sparkContext.defaultParallelism * 4, cfg.salt)
     selected = selected.repartition(par, "url_hash").cache()
 
     # 4. fetch ONCE, directly into the corpus table's next snapshot
@@ -183,13 +198,42 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         "parquet.enable.dictionary", "false"  # fat binary col, see icelite
     ).parquet(fetch_dir)
     fetched = spark.read.parquet(fetch_dir)
-    fr = fetched.agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("http_status") != 200).cast("long")).alias("n_err"),
-        F.sum(F.col("image_id").isNotNull().cast("long")).alias("n_img"),
-    ).first()
+
+    # 5. fetch metrics + U4 decode/phash verification (north_star:
+    # "images decoded/phash-verified in Arrow-batch UDFs") in ONE
+    # action: the two aggregate subtrees are cross-joined so a single
+    # job scans the fetch files twice in parallel (status cols, image
+    # cols) instead of paying two serial job round-trips.
+    from ..operators.images import decode_verify
+
+    verify_agg = decode_verify(
+        fetched.filter(F.col("image_id").isNotNull()).select(
+            "image_id", F.col("image_bytes").alias("bytes"),
+            F.col("img_w").alias("w"), F.col("img_h").alias("h"),
+            F.col("img_fmt").alias("fmt"), "phash",
+        )
+    ).agg(
+        F.count("*").alias("n_img"),
+        F.sum(
+            (
+                ~F.col("decode_ok")
+                | (F.col("dec_phash") != F.col("phash"))
+                | (F.col("dec_w") != F.col("w"))
+                | (F.col("dec_h") != F.col("h"))
+            ).cast("long")
+        ).alias("n_bad"),
+    )
+    fr = (
+        fetched.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("http_status") != 200).cast("long")).alias("n_err"),
+        )
+        .crossJoin(verify_agg)
+        .first()
+    )
     n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
     n_images = int(fr["n_img"] or 0)
+    n_verify_failed = int(fr["n_bad"] or 0)
     mark("fetch")
 
     trace = global_fetch_order(
@@ -216,36 +260,6 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     )
     icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
     mark("trace")
-
-    # 5b. U4 decode/phash-verify (north_star: "images decoded/
-    # phash-verified in Arrow-batch UDFs"): re-decode every fetched
-    # image from its bytes and recompute dims + DCT phash against the
-    # carried metadata. Reads only (image cols) of the fetch files —
-    # page-cache-hot — and emits one counter; CPU-parallel, no output.
-    from ..operators.images import decode_verify
-
-    n_verify_failed = int(
-        decode_verify(
-            fetched.filter(F.col("image_id").isNotNull()).select(
-                "image_id", F.col("image_bytes").alias("bytes"),
-                F.col("img_w").alias("w"), F.col("img_h").alias("h"),
-                F.col("img_fmt").alias("fmt"), "phash",
-            )
-        )
-        .agg(
-            F.sum(
-                (
-                    ~F.col("decode_ok")
-                    | (F.col("dec_phash") != F.col("phash"))
-                    | (F.col("dec_w") != F.col("w"))
-                    | (F.col("dec_h") != F.col("h"))
-                ).cast("long")
-            ).alias("bad")
-        )
-        .first()["bad"]
-        or 0
-    )
-    mark("verify")
 
     # 6. corpus append (authoritative schema, BASELINE.json:15) —
     # zero-copy: the fetch output files ARE the corpus data; the
