@@ -22,22 +22,22 @@ def test_tumbling_counts_matches_batch(spark):
     out = st.tumbling_counts(st.events_stream(spark, SF))
     st.drain_to_memory(out, "t_tumbling", output_mode="update")
     got = {
-        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value_c"])
         for r in spark.table("t_tumbling").collect()
     }
     expect = {
-        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value_c"])
         for r in (
             _batch_events(spark)
             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("decimal(18,2)")
-                .alias("sum_value"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_value_c"),
             )
             .select(F.col("win.start").alias("win_start"), "event_type", "n",
-                    "sum_value")
+                    "sum_value_c")
             .collect()
         )
     }

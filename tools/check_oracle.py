@@ -25,7 +25,22 @@ TABLES = (
 )
 
 
+class ListColumnError(TypeError):
+    pass
+
+
 def norm_cell(v):
+    """STRICT normalization — deliberately at least as strict as the
+    driver's hasher (round-1 lesson: the old Decimal→float + round-to-9
+    coercions made local green while the driver was red):
+
+    - floats compare by exact repr (no rounding) — queries must emit
+      values that are bit-identical across engines;
+    - Decimal objects pass through repr unchanged, so a DECIMAL output
+      column fails locally exactly like it hash-mismatches the driver;
+    - list/array cells are REJECTED outright (they crash the driver's
+      pandas row sorter with 'unhashable type: list').
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -33,13 +48,13 @@ def norm_cell(v):
             return "NaN"
         if v == 0.0:
             v = 0.0  # -0.0 -> 0.0
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        raise ListColumnError(
+            "list-typed output cell — the driver's hasher crashes on these"
+        )
     if hasattr(v, "tolist") and not isinstance(v, (bytes, str)):  # numpy
         return norm_cell(v.tolist())
-    if v.__class__.__name__ == "Decimal":
-        return repr(float(v))
     if hasattr(v, "isoformat"):
         return v.isoformat().replace("+00:00", "")
     return repr(v)

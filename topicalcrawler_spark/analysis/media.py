@@ -34,6 +34,27 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def image_features(data: bytes, fmt: str) -> tuple:
+    """Per-image feature extraction (decode → channel means, luma
+    contrast, recomputed phash).  Shared by the Spark operator below
+    AND the oracle-fixture generator (sources.oracle_fixtures), so the
+    driver's DuckDB comparison checks the full decode path through
+    Arrow transport against the same math evaluated locally."""
+    try:
+        px = decode(bytes(data), fmt).astype(np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        return (
+            True,
+            round(float(px[..., 0].mean()), 4),
+            round(float(px[..., 1].mean()), 4),
+            round(float(px[..., 2].mean()), 4),
+            round(float(luma.std()), 4),
+            phash64(px.astype(np.uint8)),
+        )
+    except Exception:
+        return (False, 0.0, 0.0, 0.0, 0.0, 0)
+
+
 def decode_features(corpus: DataFrame) -> DataFrame:
     """Decode images and extract channel-mean / contrast features +
     recomputed phash — one Arrow batch at a time, numpy-vectorized per
@@ -41,20 +62,12 @@ def decode_features(corpus: DataFrame) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                try:
-                    px = decode(bytes(data), fmt).astype(np.float64)
-                    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-                    rows.append(
-                        (iid, True, round(float(px[..., 0].mean()), 4),
-                         round(float(px[..., 1].mean()), 4),
-                         round(float(px[..., 2].mean()), 4),
-                         round(float(luma.std()), 4),
-                         phash64(px.astype(np.uint8)))
-                    )
-                except Exception:
-                    rows.append((iid, False, 0.0, 0.0, 0.0, 0.0, 0))
+            rows = [
+                (iid, *image_features(data, fmt))
+                for iid, data, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]
+                )
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )

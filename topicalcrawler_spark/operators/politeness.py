@@ -56,15 +56,51 @@ def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> D
     )
 
 
-def global_fetch_order(selected: DataFrame) -> DataFrame:
+def global_fetch_order(
+    selected: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """O1 — total fetch order within a round; trace_seq is the rank.
 
-    Scale contract: callers MUST project the payload columns away
-    first — rank only slim key columns.  The global row_number window
-    single-partitions its input; for key-only rows that is a few MB
-    per million URLs, and the per-round selected set is politeness-
-    budget-bounded (Σ budgets), never frontier-sized.  Ranking wide
-    rows (image bytes) here is the classic all-to-one-partition trap.
+    Scale-safe global rank with NO single-partition window (the round-1
+    plan moved the whole selected set to one task — the driver bench
+    logged five `WindowExec: No Partition Defined` warnings):
+
+      1. ``repartitionByRange`` on the frontier order key — partition i
+         holds globally-smaller keys than partition i+1 (parallel,
+         sampled boundaries);
+      2. per-partition counts → each partition's cumulative offset,
+         computed as a tiny self-join aggregate over ≤ #partitions rows
+         (no window at all, so nothing single-partitions);
+      3. trace_seq = offset(pid) + row_number within the partition.
+
+    All one declarative plan (the range exchange is computed once and
+    reused by both consumers), and the result equals the old global
+    rank exactly because ``order_cols()`` is a total order (depth then
+    discovery_seq is unique — SURVEY.md §7 hard part 1), so boundary
+    placement can never change the rank.
+
+    Scale contract unchanged: callers project payload columns away
+    first; the selected set is politeness-budget-bounded, and every
+    point of this plan is O(rows/partitions) per task.
     """
-    w = Window.orderBy(*order_cols())
-    return selected.withColumn("trace_seq", F.row_number().over(w).cast("long"))
+    spark = selected.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    ranged = selected.repartitionByRange(n, *order_cols()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols())
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "trace_seq",
+            (F.col("_off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )

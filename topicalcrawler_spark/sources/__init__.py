@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 TEST_TABLES = (
     "region",
@@ -26,17 +25,19 @@ def scan(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
 
 def load_seeds(spark: SparkSession, path: str) -> DataFrame:
     """S4 — seed-list source: text file, one URL per line, line number
-    becomes the deterministic discovery sequence (1-based)."""
-    from pyspark.sql.window import Window
+    becomes the deterministic discovery sequence (1-based).
 
-    raw = (
-        spark.read.text(path)
-        .withColumnRenamed("value", "url")
-        .filter(F.length(F.trim("url")) > 0)  # blank lines are not URLs
+    Line numbers come from RDD ``zipWithIndex``: deterministic because
+    text-file split order and in-split line order are fixed by the file
+    bytes — never ``monotonically_increasing_id`` (partition-dependent,
+    banned by SURVEY.md §7 hard part 1) and never a one-partition
+    global window (a round-1 WindowExec warning source).  Scale-safe:
+    zipWithIndex adds one tiny per-partition count job and no
+    all-to-one point."""
+    rdd = (
+        spark.sparkContext.textFile(path)
+        .filter(lambda line: line.strip() != "")  # blank lines are not URLs
+        .zipWithIndex()
+        .map(lambda t: (t[0], t[1] + 1))
     )
-    # line numbers: a seed file is tiny (hundreds of rows) — a single
-    # global window here is fine; at scale seeds would carry explicit ids.
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return raw.coalesce(1).withColumn(
-        "discovery_seq", F.row_number().over(w).cast("long")
-    )
+    return spark.createDataFrame(rdd, "url string, discovery_seq long")

@@ -57,11 +57,13 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_c"
+            ),
         )
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "sum_value_c"
+        )
     )
 
 
