@@ -56,7 +56,9 @@ def test_trace_and_seen_match_oracle(spark, tmp_path, rounds):
 def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
     """M2/M4 gate: 5 rounds, bloom prefilter ON — results must be
     IDENTICAL to the oracle (bloom is an optimization, never authority)."""
-    strace, sseen, _ = _spark_crawl(spark, tmp_path, 5, use_bloom=True)
+    strace, sseen, _ = _spark_crawl(
+        spark, tmp_path, 5, use_bloom=True, bloom_min_keys=0
+    )
     otrace, oseen = _oracle_crawl(5)
     assert strace == otrace
     assert sseen == oseen

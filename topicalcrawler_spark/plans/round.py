@@ -71,6 +71,13 @@ class CrawlConfig:
     salt: int = 8
     use_bloom: bool = False
     bloom_fpp: float = 0.01
+    # bloom crossover: below this seen-set size the prefilter's two
+    # extra python jobs cost more than the exact anti-join they would
+    # save — skip them (the anti-join is always the authority, so this
+    # never changes results; trace tests pin that by forcing
+    # bloom_min_keys=0).  At the 10^10 design point the filter always
+    # engages.
+    bloom_min_keys: int = 50_000
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
     # per-crawl memo of the static dim DataFrames (robots/budgets do
@@ -160,15 +167,12 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         return {"round": round_n, "n_pending": 0, "n_fetched": 0}
     frontier = icelite.read_snapshot(spark, cfg.table("frontier"), frontier_snap_id)
 
-    # 2. robots gate (J2/J7/P5 — all JVM-side); one merged agg job;
-    # the robots dim (as-of-resolved) is memoized across rounds
+    # 2. robots gate (J2/J7/P5 — all JVM-side); the robots dim
+    # (as-of-resolved) is memoized across rounds.  The gate METRICS are
+    # not computed here — they ride along in the fetch-metrics action
+    # below, so the gate phase launches zero jobs of its own.
     robots_cur = _robots_df(spark, cfg)
     gated = with_robots_decision(frontier, robots_cur).cache()
-    g = gated.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("robots_allowed").cast("long")).alias("n_allowed"),
-    ).first()
-    n_blocked = int(g["n"] - g["n_allowed"])
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
     mark("gate")
 
@@ -182,9 +186,13 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # the CPU-heavy fetch UDF, which would then execute on one core.
     # Re-spread explicitly by url_hash so fetch parallelism follows
     # cores, not input bytes (the cheap-input/expensive-UDF AQE trap).
-    # 4x cores: fine-grained tasks keep the final scheduling wave
-    # short (per-URL fetch cost varies, so coarse tasks straggle).
-    par = max(spark.sparkContext.defaultParallelism * 4, cfg.salt)
+    # Task count adapts to the round size (n_pending is free from the
+    # manifest): ~64 URLs/task, floored at 8 tasks, capped at 4x cores
+    # — fine-grained at volume so the final scheduling wave stays
+    # short, but never hundreds of near-empty python-worker tasks when
+    # a round is small (that fixed overhead dominated round-1's bench).
+    cores = spark.sparkContext.defaultParallelism
+    par = int(min(4 * cores, max(8, -(-n_pending // 64))))
     selected = selected.repartition(par, "url_hash").cache()
 
     # 4. fetch ONCE, directly into the corpus table's next snapshot
@@ -200,10 +208,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     fetched = spark.read.parquet(fetch_dir)
 
     # 5. fetch metrics + U4 decode/phash verification (north_star:
-    # "images decoded/phash-verified in Arrow-batch UDFs") in ONE
-    # action: the two aggregate subtrees are cross-joined so a single
-    # job scans the fetch files twice in parallel (status cols, image
-    # cols) instead of paying two serial job round-trips.
+    # "images decoded/phash-verified in Arrow-batch UDFs") + the robots
+    # gate metrics, all in ONE action: the three aggregate subtrees are
+    # cross-joined so a single job computes them in parallel (the gate
+    # side reads the cached ``gated``) instead of paying serial job
+    # round-trips per metric.
     from ..operators.images import decode_verify
 
     verify_agg = decode_verify(
@@ -223,21 +232,28 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             ).cast("long")
         ).alias("n_bad"),
     )
+    gate_agg = gated.agg(
+        F.count("*").alias("n_gated"),
+        F.sum(F.col("robots_allowed").cast("long")).alias("n_allowed"),
+    )
     fr = (
         fetched.agg(
             F.count("*").alias("n"),
             F.sum((F.col("http_status") != 200).cast("long")).alias("n_err"),
         )
         .crossJoin(verify_agg)
+        .crossJoin(gate_agg)
         .first()
     )
     n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
     n_images = int(fr["n_img"] or 0)
     n_verify_failed = int(fr["n_bad"] or 0)
+    n_blocked = int(fr["n_gated"] - (fr["n_allowed"] or 0))
     mark("fetch")
 
     trace = global_fetch_order(
-        fetched.select(
+        partitions=par,
+        selected=fetched.select(
             "url_canon",
             "host",
             "depth",
@@ -336,20 +352,27 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     seen_snap_id = icelite.latest_snapshot_id(cfg.table("seen"))
     n_seen = icelite.read_manifest(cfg.table("seen"), seen_snap_id)["row_count"]
     seen = icelite.read_snapshot(spark, cfg.table("seen"), seen_snap_id)
-    n_candidates = links.cache().count()
     mark("links")
-    if cfg.use_bloom:
+    # bloom crossover (see CrawlConfig.bloom_min_keys): the prefilter
+    # pays only when the seen table is big enough that skipping the
+    # exact join for definitely-fresh rows beats the two bloom jobs
+    if cfg.use_bloom and n_seen >= cfg.bloom_min_keys:
         shard_bits, k = build_bloom_shards(
             seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
         )
-        probed = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
+        # cache the probe output: both branches below read it, so the
+        # Arrow probe pass runs once, not once per branch
+        probed = bloom_prefilter(links, shard_bits, cfg.n_shards, k).cache()
         # definitely-unseen rows skip the exact join; possible hits go
         # through the exact anti-join (the authority)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         new_links = fresh.unionByName(anti_join_seen(maybe, seen))
+        cand_df = probed
     else:
+        links = links.cache()
         new_links = anti_join_seen(links, seen)
+        cand_df = links
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
 
     # 8. commits: seen += new, frontier = residual ∪ new
@@ -361,6 +384,9 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         mode="append",
     )
     n_new = icelite.read_manifest(cfg.table("seen"), seen_snap)["row_count"] - n_seen
+    # the commit just materialized cand_df's cache as a side effect, so
+    # this count is a cache-local read, not a recompute job
+    n_candidates = cand_df.count()
     mark("seen")
     residual = allowed.join(
         selected.select("url_canon"), "url_canon", "left_anti"
@@ -409,7 +435,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     }
     gated.unpersist()
     selected.unpersist()
-    links.unpersist()
+    cand_df.unpersist()
     new_links.unpersist()
     return stats
 
