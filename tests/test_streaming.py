@@ -66,9 +66,18 @@ def test_dedup_stream(spark):
     assert n_stream == n_keys
 
 
-def test_stateful_politeness_across_batches(spark):
+@pytest.mark.parametrize("impl", ["apply", "tws"])
+def test_stateful_politeness_across_batches(spark, impl):
     # 3 parquet files -> 3 micro-batches; token bucket must carry
-    # state between them and admit at most the per-host budget total
+    # state between them and admit at most the per-host budget total.
+    # Both ST6 implementations (transformWithStateInPandas primary,
+    # applyInPandasWithState fallback) must satisfy the same contract;
+    # the tws path skips where its protobuf runtime dep is absent.
+    if impl == "tws" and not st.tws_available():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf at runtime "
+            "(absent in this sandbox; no network to install)"
+        )
     tmp = tempfile.mkdtemp()
     ev = _batch_events(spark).limit(300).repartition(3)
     ev.write.mode("overwrite").parquet(os.path.join(tmp, "in"))
@@ -77,9 +86,9 @@ def test_stateful_politeness_across_batches(spark):
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(tmp, "in"))
     )
-    out = st.stateful_politeness(stream, tokens_per_host=40)
-    st.drain_to_memory(out, "t_budget", output_mode="update")
-    rows = spark.table("t_budget").collect()
+    out = st.stateful_politeness(stream, tokens_per_host=40, impl=impl)
+    st.drain_to_memory(out, f"t_budget_{impl}", output_mode="update")
+    rows = spark.table(f"t_budget_{impl}").collect()
     assert len(rows) > 0
     per_host: dict[str, dict] = {}
     for r in rows:

@@ -115,16 +115,97 @@ _BUDGET_OUT = T.StructType(
 _BUDGET_STATE = T.StructType([T.StructField("tokens", T.LongType())])
 
 
-def stateful_politeness(
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can actually RUN here.
+
+    The API exists in PySpark 4.1, but its driver-side state server
+    speaks protobuf (``google.protobuf``) — a runtime dependency this
+    sandbox does not ship (verified: the query crashes with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError on
+    google.protobuf; no network to install it).  On a normal cluster
+    with protobuf present the preferred path below engages
+    automatically."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_politeness_tws(
     stream: DataFrame,
     tokens_per_host: int = 100,
     host_col: str = "event_type",
 ) -> DataFrame:
-    """ST6 — per-host token bucket across micro-batches
-    (applyInPandasWithState). Each group's state is its remaining
-    token count; a batch admits at most the tokens left. State is
-    keyed by HOST (bounded cardinality — SURVEY.md §7 hard part 6:
-    URL-grain state lives only in the seen table, never here)."""
+    """ST6 (preferred API) — the same per-host token bucket on
+    ``transformWithStateInPandas`` (SURVEY §2.I names this primary).
+    Semantics identical to the applyInPandasWithState fallback: one
+    output row per (host, batch), admitting at most the tokens left.
+    Requires ``tws_available()`` (protobuf at runtime)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _TokenBucket(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._tokens = handle.getValueState("tokens", _BUDGET_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (host,) = key
+            tokens = (
+                self._tokens.get()[0]
+                if self._tokens.exists()
+                else tokens_per_host
+            )
+            n_req = 0
+            max_ts = None
+            for pdf in rows:
+                n_req += len(pdf)
+                m = pdf["ts"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+            admitted = min(n_req, tokens)
+            tokens -= admitted
+            self._tokens.update((tokens,))
+            yield pd.DataFrame(
+                {
+                    "host": [host],
+                    "batch_ts": [max_ts],
+                    "n_requested": [n_req],
+                    "n_admitted": [admitted],
+                    "tokens_left": [tokens],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.withColumn("host", F.col(host_col)).groupBy(
+        "host"
+    ).transformWithStateInPandas(
+        _TokenBucket(),
+        outputStructType=_BUDGET_OUT,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def stateful_politeness(
+    stream: DataFrame,
+    tokens_per_host: int = 100,
+    host_col: str = "event_type",
+    impl: str = "auto",
+) -> DataFrame:
+    """ST6 — per-host token bucket across micro-batches.  Each group's
+    state is its remaining token count; a batch admits at most the
+    tokens left.  State is keyed by HOST (bounded cardinality —
+    SURVEY.md §7 hard part 6: URL-grain state lives only in the seen
+    table, never here).
+
+    ``impl``: 'auto' uses ``transformWithStateInPandas`` when its
+    protobuf runtime dependency is present (``tws_available``) and
+    falls back to ``applyInPandasWithState`` otherwise; 'tws' /
+    'apply' force a path."""
+    if impl == "tws" or (impl == "auto" and tws_available()):
+        return stateful_politeness_tws(stream, tokens_per_host, host_col)
 
     def bucket(key, pdfs, state: GroupState):
         (host,) = key
