@@ -53,6 +53,47 @@ def test_minhash_lsh_equals_bruteforce_jaccard(spark):
     assert len(brute) > 0  # sanity: the threshold actually selects pairs
 
 
+def test_jaccard_df_cap_matches_uncapped_on_fixture(spark):
+    """The hot-token df cap (scale guard) must not change results when
+    no token exceeds it — pins that the capped candidate+verify path
+    computes the identical exact Jaccard as the postings-count path."""
+    docs = _docs(spark)
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.5, max_df=1000).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.5, max_df=None).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) > 0
+
+
+def test_jaccard_df_cap_drops_hot_token_from_candidates(spark):
+    """With a binding cap: a stop-word-grade token present in EVERY doc
+    must not generate candidates by itself, while pairs sharing rarer
+    tokens are still found and verified with the FULL-set Jaccard
+    (including the hot token's contribution to the score)."""
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "the quick brown fox jumps far"),
+        (3, "the zebra sleeps"),
+        (4, "the walrus sings"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'the' has df=4 > cap=3 -> excluded from candidate generation:
+    # (3,4) share only 'the' and must NOT pair; (1,2) share 4 rare
+    # tokens + 'the' and must pair, with jaccard computed over ALL
+    # tokens (incl. the hot one): |{the,quick,brown,fox,jumps}| / 7
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, threshold=0.5, max_df=3).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - round(5 / 7, 6)) < 1e-9
+
+
 def test_simhash_identical_docs_pair(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -77,3 +77,39 @@ def test_no_python_udf_in_pure_relational_queries(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def _window_specs(plan: str) -> list[str]:
+    # each physical Window node prints "Window [funcs], [partition], [order]"
+    return [ln for ln in plan.splitlines() if ln.lstrip().startswith("Window ")]
+
+
+def test_no_unpartitioned_window_in_trace_plan(spark):
+    """The round-1 scale-killer: global_fetch_order's old global
+    row_number single-partitioned each round's selected set (five
+    WindowExec warnings in the driver bench).  The new range-partition
+    + offset plan must contain ONLY partitioned Window nodes."""
+    from topicalcrawler_spark.operators.politeness import global_fetch_order
+
+    frontier = spark.range(1000).select(
+        F.col("id").alias("discovery_seq"),
+        (F.col("id") % 7).cast("long").alias("relevance_q"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit("2026-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
+    )
+    df = global_fetch_order(frontier, partitions=8)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    for spec in _window_specs(plan):
+        # an empty partition spec prints as "], [], [" between the
+        # function list and the ordering list
+        assert "], [], [" not in spec, f"unpartitioned window: {spec}"
+    # the global rank must equal a plain orderBy rank (total order key)
+    rows = df.orderBy("trace_seq").collect()
+    assert [r["trace_seq"] for r in rows] == list(range(1, 1001))
+    keys = [
+        (-r["relevance_q"], r["depth"], r["discovery_time"], r["discovery_seq"])
+        for r in rows
+    ]
+    assert keys == sorted(keys)

@@ -229,34 +229,36 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash per doc (majority vote of token-hash bits, token
     multiset — repeated tokens count twice). Output: (doc_id, simhash).
 
-    Row-local variant: explode is over (tokens x bits) which is linear
-    with constant 60 — no quadratic blowup; groupBy doc_id/bit is the
-    only shuffle and is partial-aggregated map-side by Catalyst.
+    Fully ROW-LOCAL (the round-1 verdict's cheap win): one array
+    aggregate folds the token hashes into a 60-wide vote vector, a
+    second folds the vote signs into the packed signature — all inside
+    a single projection, zero shuffle, embarrassingly parallel (the
+    round-1 formulation exploded tokens x 60 bits and paid two
+    groupBy shuffles).  Each token hash is computed once; per-row work
+    is O(tokens x 60), same as the explode form minus the exchange.
     """
-    th = docs.select(
-        "doc_id", F.explode(tokens_expr("text")).alias("tok")
-    ).select("doc_id", hash60_expr("tok").alias("th"))
-    bit_votes = (
-        th.select(
-            "doc_id",
-            F.posexplode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b", "_"),
-            "th",
-        )
-        .withColumn("bit", F.expr("shiftright(th, b) % 2"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("votes"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    ths = F.transform(tokens_expr("text"), hash60_expr)
+    votes = F.aggregate(
+        ths,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, th: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(th.bitwiseAND(m) != F.lit(0).cast("long"), 1).otherwise(-1),
+        ),
     )
-    return (
-        bit_votes.withColumn(
-            "contrib",
-            F.when(
-                F.col("votes") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return docs.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
