@@ -15,11 +15,17 @@ PKG_ZIP=$(mktemp -u /tmp/tc_spark_pkg_XXXX.zip)
 
 run_level() {
   local CORES=$1 CPULIST=$2 OUT=$3
+  # --driver-memory must be a submit arg (the JVM exists before any
+  # in-session config applies; the 1g default OOMs a 300k-URL crawl).
+  # UseAVX=2: this sandbox's virtualized AVX-512 segfaults the JIT's
+  # avx3 arraycopy stubs (hs_err in jlong_disjoint_arraycopy_avx3).
   taskset -c "$CPULIST" spark-submit \
     --master "local[$CORES]" \
     --py-files "$PKG_ZIP" \
+    --driver-memory 8g \
     --conf spark.sql.shuffle.partitions=$((CORES*2)) \
     --conf spark.sql.session.timeZone=UTC \
+    --conf "spark.driver.extraJavaOptions=-XX:UseAVX=2" \
     tools/scaling_run.py "$CORES" "$N_URLS" "$ROUNDS" > "$OUT"
   echo "cores=$CORES -> $OUT"; cat "$OUT"
 }
