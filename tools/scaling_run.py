@@ -57,12 +57,23 @@ def main() -> None:
             max_depth=4,
         )
         def steal_jiffies() -> int:
+            """Steal on exactly OUR pinned cores (taskset affinity) —
+            the whole-machine counter overstates our exposure 32x on a
+            1-core run and makes runs incomparable."""
             try:
+                aff = os.sched_getaffinity(0)
+                total = 0
                 with open("/proc/stat") as f:
-                    return int(f.readline().split()[8])
+                    for ln in f:
+                        if ln.startswith("cpu") and not ln.startswith("cpu "):
+                            p = ln.split()
+                            if int(p[0][3:]) in aff:
+                                total += int(p[8])
+                return total
             except Exception:
                 return 0
 
+        n_pinned = max(len(os.sched_getaffinity(0)), 1)
         st0 = steal_jiffies()
         t0 = time.monotonic()
         stats = run_crawl(spark, cfg, seeds, rounds=rounds)
@@ -91,6 +102,8 @@ def main() -> None:
                         sum(s["wall_s"] for s in steady) / len(steady), 2
                     ),
                     "cpu_steal_s": round(steal_s, 1),
+                    "pinned_cores": n_pinned,
+                    "steal_frac": round(steal_s / (wall * n_pinned), 4),
                     "per_round": [
                         {k: s.get(k) for k in ("round", "n_pending", "n_fetched",
                                                "n_candidates", "wall_s", "phases")}
