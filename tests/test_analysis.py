@@ -94,6 +94,22 @@ def test_jaccard_df_cap_drops_hot_token_from_candidates(spark):
     assert abs(got[(1, 2)] - round(5 / 7, 6)) < 1e-9
 
 
+def test_connected_components_clusters_and_singletons(spark):
+    # two chains that merge transitively + one isolated vertex: the
+    # component label must be the min id REACHABLE, not just adjacent
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 7), (20, 21)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 7, 9, 20, 21, 99)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in dd.connected_components(pairs, verts).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 2: 2, 7: 2, 20: 20, 21: 20, 99: 99}
+
+
 def test_simhash_identical_docs_pair(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -261,6 +261,78 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return docs.select("doc_id", sig.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment — the final step of every dedup
+    pipeline: group near-dup PAIRS into components and pick a canonical
+    keeper (the component's min id).  Exact min-label propagation to
+    fixpoint:
+
+      comp(v) <- min(comp(v), min over neighbors n of comp(n))
+
+    iterated until no label changes — the unique fixpoint assigns every
+    vertex the minimum id reachable in its component, so the result is
+    deterministic and an independent engine (DuckDB recursive CTE over
+    the same pairs) reproduces it exactly.
+
+    Inputs: ``pairs`` with (doc_a, doc_b); ``vertices`` with id_col
+    (vertices absent from pairs stay their own singleton component).
+    Output: (id_col, comp).
+
+    Scale notes: each step is one join + min-aggregate, shuffling only
+    the edge list on its endpoints; steps needed = O(component
+    diameter), and near-dup graphs are short-diameter by construction
+    (members all sit within threshold of each other).  At 10^10-edge
+    scale swap in the alternating large-star/small-star contraction
+    (Kiveris et al., public literature) — same fixpoint, fewer rounds;
+    this direct form keeps every step oracle-replayable.
+    """
+    # cache the symmetrized edge list: every propagation step joins
+    # against it, and recomputing the (expensive) pair-generation
+    # lineage per iteration would dominate the loop
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+    labels = vertices.select(F.col(id_col).alias("v")).withColumn(
+        "comp", F.col("v")
+    ).cache()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("v").alias(id_col), "comp")
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs at hamming(simhash) <= max_hamming via lossless
     pigeonhole chunk-band join (requires max_hamming < SIMHASH_CHUNKS).

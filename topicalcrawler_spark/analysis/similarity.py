@@ -111,6 +111,76 @@ def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
+def ivf_neardup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed near-dup pairs — the 100-TB scale path for
+    ``cosine_neardup`` (whose all-pairs form is the oracle baseline,
+    never the production plan).  Multi-probe indexing: each vector is
+    ASSIGNED to its ``nprobe`` nearest cells, pairs are generated only
+    within a shared cell (equi-join on cell — no cross product), exact
+    cosine verifies every candidate, and duplicates from multi-cell
+    co-residence are dropped.  Recall loss is only the pairs whose two
+    members share none of their nprobe cells; raising nprobe trades
+    compute for recall.  Output: (vec_a, vec_b, cosine) like the exact
+    operator."""
+    assigned = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                "centroid",
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    cells = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "cell")
+    )
+    cands = (
+        cells.alias("a")
+        .join(cells.alias("b"), "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    return (
+        cands.join(
+            base.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                F.col("norm").alias("nna"),
+            ),
+            "vec_a",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+                F.col("norm").alias("nnb"),
+            ),
+            "vec_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(_dot_expr("ea", "eb") / (F.col("nna") * F.col("nnb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = LSH_SEED) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, nbits))
 

@@ -98,6 +98,78 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-k terms by TF-IDF — corpus vocabulary profiling for
+    training-data curation.  tf = term count within the doc (multiset),
+    idf = ln(N / df) with df = docs containing the term; rank ties
+    break lexicographically so the result is total-ordered and exactly
+    SQL-replayable.  Output: (doc_id, term, tfidf, rnk), rnk 1..k.
+
+    Scale shape: postings explode + two hash aggregates (term df is a
+    corpus-wide agg Catalyst partial-aggregates map-side); the ranking
+    window partitions by doc_id — never global."""
+    from pyspark.sql.window import Window
+
+    postings = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        postings.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, pct_by_bucket: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic hash-mod stratified sampling — the reproducible
+    corpus-mix primitive (training pipelines must be able to re-derive
+    the exact sample).  Strata = document length buckets (short/
+    medium/long); a doc is kept iff hash60(doc_id) % 100 < pct for its
+    stratum.  Pure Catalyst, zero shuffle, exactly replayable in SQL.
+    Output: (doc_id, bucket, h_mod)."""
+    pct = pct_by_bucket or {"short": 50, "medium": 20, "long": 10}
+    bucket = (
+        F.when(F.length("text") < 120, "short")
+        .when(F.length("text") < 300, "medium")
+        .otherwise("long")
+    )
+    rate = F.create_map(
+        *[F.lit(x) for kv in pct.items() for x in kv]
+    )
+    h_mod = F.pmod(hash60_expr(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        docs.select(
+            "doc_id", bucket.alias("bucket"), h_mod.cast("int").alias("h_mod")
+        )
+        .filter(F.col("h_mod") < F.element_at(rate, F.col("bucket")))
+    )
+
+
 def fingerprints(docs: DataFrame, k: int = 4, shingle_n: int = 3) -> DataFrame:
     """Bottom-k document fingerprint: the k smallest distinct 60-bit
     hashes of word shingles (a winnowing-style rolling sketch — two

@@ -1363,6 +1363,126 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dup_components_docs",
+    f"""
+    WITH RECURSIVE s AS ({_SIMHASH_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment ⊕ — connected components over the
+    simhash near-dup pairs (hamming<=3), every doc labeled with its
+    component's min doc_id (the canonical keeper).  The oracle is a
+    DuckDB recursive-CTE transitive closure over the same brute-force
+    pairs — exact because min-label propagation's fixpoint is unique."""
+    docs = scan(spark, "documents", sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=3)
+    return dd.connected_components(pairs, docs.select("doc_id"))
+
+
+@register(
+    "embedding_ivf_neardup",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_DOT_SQL} / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+    FROM scored WHERE cosine >= 0.4
+    """,
+)
+def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup ⊕ — the scale path for cosine_neardup
+    (never all-pairs in production).  Derived exact assertion: the
+    exact pair count plus the claim that the IVF path (nprobe=2)
+    recovers >= 60% of exact pairs — deterministic with margin on the
+    fixed sandbox embeddings."""
+    emb = scan(spark, "embeddings", sf_dir)
+    cents = sim.ivf_build(emb, n_cells=8, iters=1)
+    ann = sim.ivf_neardup(emb, cents, threshold=0.4, nprobe=2)
+    exact = sim.cosine_neardup(emb, threshold=0.4)
+    hits = ann.select("vec_a", "vec_b").join(
+        exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact",
+            (F.col("n_hits") >= F.col("n_exact") * 0.6).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms_docs",
+    """
+    WITH postings AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM postings GROUP BY 1, 2),
+    idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    """,
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vocabulary profiling ⊕ — top-3 terms per doc, exact."""
+    return tx.tfidf_top_terms(scan(spark, "documents", sf_dir), k=3)
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 120 THEN 'short'
+                  WHEN length(text) < 300 THEN 'medium'
+                  ELSE 'long' END AS bucket,
+             CAST({hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS h_mod
+      FROM documents
+    )
+    SELECT doc_id, bucket, h_mod FROM b
+    WHERE h_mod < CASE bucket WHEN 'short' THEN 50
+                              WHEN 'medium' THEN 20 ELSE 10 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling ⊕ — reproducible corpus
+    mix (keep-rate per length stratum, selection by md5-derived hash
+    mod — any engine re-derives the exact sample)."""
+    return tx.stratified_sample(scan(spark, "documents", sf_dir))
+
+
 # ------------------------------------------- multimodal (fixture oracles)
 # The corpus table is not among the DuckDB oracle views, but the driver's
 # oracle SQL can read any parquet path — sources.oracle_fixtures writes the
