@@ -94,6 +94,43 @@ def test_jaccard_df_cap_drops_hot_token_from_candidates(spark):
     assert abs(got[(1, 2)] - round(5 / 7, 6)) < 1e-9
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check vs an independent union-find oracle on seeded
+    random graphs (one Spark run per graph keeps the test fast)."""
+    import random
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        n = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 30))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {v: find(v) for v in range(n)}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in dd.connected_components(pairs, verts).collect()
+        }
+        assert got == expect, seed
+
+
 def test_connected_components_clusters_and_singletons(spark):
     # two chains that merge transitively + one isolated vertex: the
     # component label must be the min id REACHABLE, not just adjacent
