@@ -57,10 +57,14 @@ def crawl(
     rounds: int,
     max_depth: int = 3,
     default_budget: int = fx.DEFAULT_BUDGET,
+    budget_rows: list[dict] | None = None,
 ) -> tuple[list[dict], set[str]]:
-    """Returns (trace rows in fetch order, final seen set)."""
+    """Returns (trace rows in fetch order, final seen set).
+    ``budget_rows`` overrides the fixture per-host budgets (same shape
+    as fx.make_budgets(); [] = every host gets default_budget)."""
     robots = fx.current_robots()
-    budgets = {b["host"]: b["budget_per_round"] for b in fx.make_budgets()}
+    rows = fx.make_budgets() if budget_rows is None else budget_rows
+    budgets = {b["host"]: b["budget_per_round"] for b in rows}
 
     seen: set[str] = set()
     pending: list[Candidate] = []

@@ -64,6 +64,27 @@ def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
     assert sseen == oseen
 
 
+def test_crawl_exhausts_frontier_and_stays_oracle_equal(spark, tmp_path):
+    """Depth cap 1 + generous uniform budgets drain the frontier after
+    a few rounds; further rounds must be clean no-ops (n_pending == 0)
+    and the full trace + seen set still match the oracle exactly."""
+    strace, sseen, cfg = _spark_crawl(
+        spark, tmp_path, 6, max_depth=1, budget_rows=[], default_budget=200
+    )
+    otrace, oseen = oracle_crawler.crawl(
+        fx.make_seeds(), 6, max_depth=1, default_budget=200, budget_rows=[]
+    )
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace]
+    assert strace == otrace
+    assert sseen == oseen
+    from topicalcrawler_spark import icelite
+
+    n_left = icelite.read_manifest(
+        cfg.table("frontier"), icelite.latest_snapshot_id(cfg.table("frontier"))
+    )["row_count"]
+    assert n_left == 0
+
+
 def test_resume_equivalence(spark, tmp_path):
     """§3.3: crawl(k) ≡ crawl(j); resume(k−j) — byte-identical trace
     and seen-set (randomized split points are covered by the two

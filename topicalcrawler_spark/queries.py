@@ -1530,6 +1530,54 @@ def phash_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "phash_components_corpus",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.image_id AS id_a, b.image_id AS id_b
+      FROM '{CORPUS_PHASH_PATH}' a JOIN '{CORPUS_PHASH_PATH}' b
+        ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+    )
+    SELECT c.image_id,
+           least(c.image_id, coalesce(min(r.b), c.image_id)) AS comp
+    FROM '{CORPUS_PHASH_PATH}' c LEFT JOIN reach r ON r.a = c.image_id
+    GROUP BY c.image_id
+    """,
+)
+def phash_components_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dup-cluster assignment ⊕ — connected components over the
+    phash near-dup pairs (hamming<=8): each image labeled with its
+    cluster's lexicographic-min image_id (zero-padded ids make that the
+    numeric min), i.e. the canonical keeper of a visual duplicate
+    group.  Completes the image-dedup pipeline (band join → exact
+    hamming verify → cluster → keeper)."""
+    from .operators.images import phash_near_dup_pairs
+    from .schemas import CORPUS
+    from .sources.fixtures import make_corpus
+
+    ensure_phash_fixture()
+    corpus = spark.createDataFrame(
+        make_corpus(PHASH_N, near_dup_rate=PHASH_NEAR_DUP_RATE), CORPUS
+    )
+    pairs = phash_near_dup_pairs(corpus, max_hamming=8).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comps = dd.connected_components(
+        pairs, corpus.select(F.col("image_id").alias("doc_id"))
+    )
+    return comps.select(F.col("doc_id").alias("image_id"), "comp")
+
+
+@register(
     "corpus_decode_features",
     f"SELECT * FROM '{CORPUS_FEATURES_PATH}'",
 )
