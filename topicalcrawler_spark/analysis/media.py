@@ -77,6 +77,15 @@ def decode_features(corpus: DataFrame) -> DataFrame:
     )
 
 
+def resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample — shared by the Spark resize operator
+    and the oracle-fixture generator so the resize→feature pipeline is
+    exactly replayable."""
+    ys = (np.arange(out_h) * px.shape[0] // out_h).astype(int)
+    xs = (np.arange(out_w) * px.shape[1] // out_w).astype(int)
+    return px[ys][:, xs]
+
+
 def resize_images(corpus: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     """Nearest-neighbor resize to (out_w, out_h); re-encodes as PPM.
     Output keeps the corpus schema (fmt='ppm', w/h updated)."""
@@ -88,9 +97,7 @@ def resize_images(corpus: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
             for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
                 try:
                     px = decode(bytes(data), fmt)
-                    ys = (np.arange(out_h) * px.shape[0] // out_h).astype(int)
-                    xs = (np.arange(out_w) * px.shape[1] // out_w).astype(int)
-                    small = px[ys][:, xs]
+                    small = resize_pixels(px, out_w, out_h)
                     new_bytes.append(encode_ppm(small))
                     ws.append(out_w), hs.append(out_h), fmts.append("ppm")
                 except Exception:

@@ -1494,11 +1494,15 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .sources.oracle_fixtures import (  # noqa: E402
     CORPUS_FEATURES_PATH,
     CORPUS_PHASH_PATH,
+    CORPUS_RESIZE_PATH,
     PHASH_N,
     PHASH_NEAR_DUP_RATE,
     FEATURES_N,
+    RESIZE_H,
+    RESIZE_W,
     ensure_features_fixture,
     ensure_phash_fixture,
+    ensure_resize_features_fixture,
 )
 
 
@@ -1596,6 +1600,26 @@ def corpus_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(corpus)
 
 
+@register(
+    "corpus_resize_features",
+    f"SELECT * FROM '{CORPUS_RESIZE_PATH}'",
+)
+def corpus_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize pipeline ⊕ — decode → nearest-neighbor resample →
+    PPM re-encode (resize_images) → feature extract (decode_features),
+    checked against expectations the fixture generator computes through
+    the identical library kernels.  Proves the full multimodal
+    transform chain, not just the single decode hop."""
+    from .analysis.media import decode_features, resize_images
+    from .schemas import CORPUS
+    from .sources.fixtures import make_corpus
+
+    ensure_resize_features_fixture()
+    _ship(spark)
+    corpus = spark.createDataFrame(make_corpus(FEATURES_N), CORPUS)
+    return decode_features(resize_images(corpus, RESIZE_W, RESIZE_H))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
@@ -1605,4 +1629,5 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB runs, whichever side the driver executes first
     ensure_phash_fixture()
     ensure_features_fixture()
+    ensure_resize_features_fixture()
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -19,9 +19,11 @@ import pyarrow.parquet as pq
 FIXTURE_DIR = "/tmp/topicalcrawler_oracle_fixtures"
 CORPUS_PHASH_PATH = os.path.join(FIXTURE_DIR, "corpus_phash.parquet")
 CORPUS_FEATURES_PATH = os.path.join(FIXTURE_DIR, "corpus_features.parquet")
+CORPUS_RESIZE_PATH = os.path.join(FIXTURE_DIR, "corpus_resize_features.parquet")
 
 PHASH_N, PHASH_NEAR_DUP_RATE = 400, 0.03
 FEATURES_N = 200
+RESIZE_W = RESIZE_H = 32
 
 
 def _atomic_write(table: pa.Table, path: str) -> None:
@@ -52,6 +54,39 @@ def ensure_phash_fixture() -> str:
     return CORPUS_PHASH_PATH
 
 
+def _features_table(rows: list[dict], feats: list[tuple]) -> pa.Table:
+    return pa.table(
+        {
+            "image_id": [r["image_id"] for r in rows],
+            "decode_ok": pa.array([f[0] for f in feats], type=pa.bool_()),
+            "mean_r": pa.array([f[1] for f in feats], type=pa.float64()),
+            "mean_g": pa.array([f[2] for f in feats], type=pa.float64()),
+            "mean_b": pa.array([f[3] for f in feats], type=pa.float64()),
+            "luma_std": pa.array([f[4] for f in feats], type=pa.float64()),
+            "dec_phash": pa.array([f[5] for f in feats], type=pa.int64()),
+        }
+    )
+
+
+def ensure_resize_features_fixture() -> str:
+    """Expected features of the resize→re-encode→decode pipeline
+    (decode → nearest-neighbor resample → PPM → features), computed
+    locally through the same library kernels the Spark operators run."""
+    if not os.path.exists(CORPUS_RESIZE_PATH):
+        from ..analysis.media import image_features, resize_pixels
+        from ..core.imagecodec import decode, encode_ppm
+        from .fixtures import make_corpus
+
+        rows = make_corpus(FEATURES_N)
+        feats = []
+        for r in rows:
+            px = decode(r["bytes"], r["fmt"])
+            ppm = encode_ppm(resize_pixels(px, RESIZE_W, RESIZE_H))
+            feats.append(image_features(ppm, "ppm"))
+        _atomic_write(_features_table(rows, feats), CORPUS_RESIZE_PATH)
+    return CORPUS_RESIZE_PATH
+
+
 def ensure_features_fixture() -> str:
     """Expected decode features of the U4 fixture corpus, computed
     locally with the same analysis.media.image_features the Spark
@@ -62,24 +97,5 @@ def ensure_features_fixture() -> str:
 
         rows = make_corpus(FEATURES_N)
         feats = [image_features(r["bytes"], r["fmt"]) for r in rows]
-        _atomic_write(
-            pa.table(
-                {
-                    "image_id": [r["image_id"] for r in rows],
-                    "decode_ok": pa.array(
-                        [f[0] for f in feats], type=pa.bool_()
-                    ),
-                    "mean_r": pa.array([f[1] for f in feats], type=pa.float64()),
-                    "mean_g": pa.array([f[2] for f in feats], type=pa.float64()),
-                    "mean_b": pa.array([f[3] for f in feats], type=pa.float64()),
-                    "luma_std": pa.array(
-                        [f[4] for f in feats], type=pa.float64()
-                    ),
-                    "dec_phash": pa.array(
-                        [f[5] for f in feats], type=pa.int64()
-                    ),
-                }
-            ),
-            CORPUS_FEATURES_PATH,
-        )
+        _atomic_write(_features_table(rows, feats), CORPUS_FEATURES_PATH)
     return CORPUS_FEATURES_PATH
