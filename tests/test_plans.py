@@ -79,6 +79,46 @@ def test_no_python_udf_in_pure_relational_queries(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed by the same
+    key and count must sort-merge join with ZERO Exchange operators —
+    the shape that lets repeated big-big joins amortize partitioning
+    at the 100 TB design point."""
+    from topicalcrawler_spark.sources import write_bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'"
+    )
+    a = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x")
+    )
+    b = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("y")
+    )
+    write_bucketed(a, "bucketdb.t_a", "doc_id", 8)
+    write_bucketed(b, "bucketdb.t_b", "doc_id", 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bucketdb.t_a").join(
+            spark.table("bucketdb.t_b"), "doc_id"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketdb.t_a")
+        spark.sql("DROP TABLE IF EXISTS bucketdb.t_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb")
+    assert n == 20000
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in phys
+    assert "Exchange" not in phys, phys
+
+
 def _window_specs(plan: str) -> list[str]:
     # each physical Window node prints "Window [funcs], [partition], [order]"
     return [ln for ln in plan.splitlines() if ln.lstrip().startswith("Window ")]

@@ -251,6 +251,90 @@ def rollup_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (approx side) ⊕ — approx_percentile's sketch can't be
+    replayed in DuckDB, so the oracle-checkable form is a derived exact
+    assertion: the exact p50 plus the claim that the high-accuracy
+    sketch (accuracy=10000 → rank error ≤ 1e-4·n) lands within 1% of
+    it — deterministic with wide margin."""
+    exact = F.expr("percentile(l_extendedprice, 0.5D)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
+    return (
+        scan(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(exact, 4).alias("exact_p50"),
+            (F.abs(approx - exact) <= exact * 0.01).alias(
+                "approx_within_1pct"
+            ),
+        )
+    )
+
+
+@register(
+    "funnel_events",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (SELECT e.user_id, MIN(e.ts) AS first_click
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.first_view
+           GROUP BY e.user_id),
+    pu AS (SELECT DISTINCT e.user_id
+           FROM events e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > fc.first_click)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+           (SELECT COUNT(*) FROM fc) AS n_clicked,
+           (SELECT COUNT(*) FROM pu) AS n_purchased
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel ⊕ — strictly-ordered view→click→purchase
+    progression per user (∃ v<c<p), the classic sequential-pattern
+    query.  Computed via the equivalent min-time formulation (∃ v<c<p
+    ⟺ ∃ purchase after the first click after the first view): one
+    groupBy per step, no per-event self-join explosion — the shape
+    that survives 10^10 events."""
+    e = scan(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    first_click = (
+        v.join(c, "user_id")
+        .filter(F.col("cts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("first_click"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    purchased = (
+        first_click.join(p, "user_id")
+        .filter(F.col("pts") > F.col("first_click"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewers"))
+        .crossJoin(first_click.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(purchased.agg(F.count("*").alias("n_purchased")))
+    )
+
+
+@register(
     "cube_order_metrics",
     """
     SELECT o_orderstatus, o_orderpriority,

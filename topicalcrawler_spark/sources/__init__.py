@@ -23,6 +23,26 @@ def scan(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key`` — the
+    co-located-join primitive for the 100 TB design point: two tables
+    bucketed by the same key with the same bucket count join with NO
+    shuffle exchange on either side (each bucket pair joins in place),
+    which is how repeated frontier⋈seen-style joins amortize their
+    partitioning across rounds on a real cluster.  The plan test
+    (tests/test_plans.py) pins the exchange-free join shape."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("parquet.enable.dictionary", "false")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def load_seeds(spark: SparkSession, path: str) -> DataFrame:
     """S4 — seed-list source: text file, one URL per line, line number
     becomes the deterministic discovery sequence (1-based).
