@@ -103,6 +103,42 @@ def test_stateful_politeness_across_batches(spark, impl):
         assert v["last_left"] == 40 - v["admitted"], (h, v)
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream inner join (watermarked, range-bounded) must
+    produce exactly the rows of the same predicate evaluated in batch
+    (one file = one micro-batch on each side)."""
+    views = st.events_stream(spark, SF).filter(F.col("event_type") == "view")
+    purchases = st.events_stream(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = st.stream_stream_interval_join(views, purchases, interval="6 hours", watermark="2 days")
+    st.drain_to_memory(out, "t_ssjoin", output_mode="append")
+    got = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+    e = _batch_events(spark)
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    expect = {
+        (r["user_id"], r["l_id"], r["r_id"])
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 6 HOURS")),
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_run_to_icelite_commits_snapshots(spark):
     tmp = tempfile.mkdtemp()
     table = os.path.join(tmp, "stream_counts")

@@ -243,6 +243,39 @@ def stateful_politeness(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join (beyond the §2.I checklist): correlate
+    two event streams per user within a time interval — e.g. a fetch
+    event with the robots decision that preceded it.  Both sides are
+    watermarked and the join predicate is range-bounded on event time,
+    so Spark can expire buffered state (unbounded state is the classic
+    stream-join failure mode).  Output: (user_id, l_id, r_id, l_ts,
+    r_ts).  Batch parity: the same predicate over the static table is
+    the J6 band join the DuckDB oracle checks."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}")),
+        "inner",
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts")
+
+
 # ------------------------------------------------------- ST7/ST8 sinks
 
 
