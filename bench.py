@@ -59,7 +59,17 @@ def bench_crawl(spark, n_seeds: int = 2000, rounds: int = 2) -> dict:
     from topicalcrawler_spark.plans.round import CrawlConfig, run_crawl
     from topicalcrawler_spark.sources import fixtures as fx
 
-    root = tempfile.mkdtemp(prefix="tc_bench_")
+    # crawl tables on tmpfs, same rationale as tools/scaling_run.py:
+    # this VM's single shared virtual disk has neighbor-dependent write
+    # latency (crawl wall-time drifted 10->47 s/round across a day at
+    # identical code while the read-mostly queries held steady); on a
+    # real cluster storage bandwidth scales with executors. Override
+    # with TC_BENCH_ROOT=/tmp to measure the disk-bound variant.
+    base = os.environ.get(
+        "TC_BENCH_ROOT",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    root = tempfile.mkdtemp(prefix="tc_bench_", dir=base)
     try:
         seeds = os.path.join(root, "seeds.txt")
         fx.write_seed_file(seeds, n=n_seeds)
