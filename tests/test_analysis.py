@@ -129,6 +129,32 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in dd.connected_components(pairs, verts).collect()
         }
         assert got == expect, seed
+        got_star = {
+            r["doc_id"]: r["comp"]
+            for r in dd.connected_components_star(pairs, verts).collect()
+        }
+        assert got_star == expect, ("star", seed)
+
+
+def test_connected_components_star_long_chain(spark):
+    """The case min-label propagation needs O(n) rounds for: a 30-hop
+    chain. large-star/small-star must label it in O(log n) rounds, and
+    the propagation path must RAISE (never silently return partial
+    labels) when its iteration budget is too small for the diameter."""
+    import pytest
+
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in dd.connected_components_star(pairs, verts, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, verts, max_iter=3).collect()
 
 
 def test_connected_components_clusters_and_singletons(spark):
@@ -214,19 +240,41 @@ def test_media_decode_features_and_resize(spark):
         assert px.shape == (16, 16, 3)
 
 
-def test_media_frame_sampling_stub(spark):
-    media_df = spark.createDataFrame(
-        [("vid-1", b"\x00\x01"), ("vid-2", b"\x02")],
-        "media_id string, payload binary",
-    )
-    frames = media.sample_frames(media_df, frames_per_item=4).collect()
-    assert len(frames) == 8
-    per = {}
-    for r in frames:
-        per.setdefault(r["media_id"], []).append(r["frame_idx"])
-    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
-    # deterministic stub: same media_id+idx -> same phash
-    again = media.sample_frames(media_df, frames_per_item=4).collect()
-    assert {(r["media_id"], r["frame_idx"], r["frame_phash"]) for r in frames} == {
-        (r["media_id"], r["frame_idx"], r["frame_phash"]) for r in again
+def test_qvid_codec_roundtrip():
+    import numpy as np
+
+    from topicalcrawler_spark.core.imagecodec import make_pixels
+
+    frames = np.stack([make_pixels(9 + f, 20, 12) for f in range(5)])
+    blob = media.encode_qvid(frames, interval_ms=33)
+    interval, back = media.decode_qvid(blob)
+    assert interval == 33
+    assert (back == frames).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        media.decode_qvid(b"JUNKJUNKJUNKJUNK")
+
+
+def test_media_frame_sampling_real_decode(spark):
+    """sample_frames does REAL qvid decode: sampled phashes match the
+    generator-side kernel per frame, and a corrupt payload degrades to
+    the frame_idx=-1 sentinel row instead of failing the task."""
+    from topicalcrawler_spark.sources.fixtures import make_videos
+
+    vids = make_videos(12)  # index 14 corrupt rows excluded at n=12
+    vids.append({"media_id": "vid-bad", "payload": b"not a qvid"})
+    media_df = spark.createDataFrame(vids, "media_id string, payload binary")
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["frame_ts_ms"], r["frame_phash"],
+                                          r["frame_mean_luma"])
+        for r in media.sample_frames(media_df, every_k=3).collect()
     }
+    expect = {}
+    for v in vids:
+        for mid, idx, ts, ph, luma in media.expected_frame_rows(
+            v["media_id"], v["payload"], 3
+        ):
+            expect[(mid, idx)] = (ts, ph, luma)
+    assert got == expect
+    assert got[("vid-bad", -1)] == (-1, 0, 0.0)

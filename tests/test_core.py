@@ -187,3 +187,66 @@ def test_relevance_integer_and_deterministic():
     assert isinstance(s, int)
     assert s == score_q("spark crawl frontier pebble umbrella")
     assert score_q("spark crawl frontier") > score_q("pebble umbrella violin")
+
+
+def test_probe_batches_loads_only_touched_shards():
+    """The distributed-bitmap probe must pull exactly the shards its
+    keys map to (1-2 per task when links are url_hash-range
+    partitioned) — the property that makes the file-based path
+    O(bitmap x shards-touched) per task instead of O(all shards)."""
+    import pandas as pd
+
+    from topicalcrawler_spark.operators.dedup import _probe_batches, shard_ids
+
+    n_shards, k = 16, 4
+    n_bits, _ = bloom.params_for(100, 0.01)
+    rng = np.random.default_rng(7)
+    # keys confined to the top-2 shard ranges (high bits 1110/1111)
+    keys = (
+        (rng.integers(0, 1 << 60, size=50, dtype=np.int64))
+        | np.int64(-(1 << 62))  # set the top two bits
+    )
+    touched = set(shard_ids(keys, n_shards).tolist())
+    assert len(touched) <= 2
+
+    loads: list[int] = []
+
+    def get_shard(sid: int):
+        loads.append(sid)
+        return bloom.build(np.array([], dtype=np.int64), n_bits, k)
+
+    out = list(
+        _probe_batches(
+            iter([pd.DataFrame({"url_hash": keys})]), get_shard, n_shards, k
+        )
+    )
+    assert set(loads) == touched
+    assert not out[0]["maybe_seen"].any()  # empty bitmaps -> all unseen
+
+
+def test_probe_batches_missing_shard_is_all_unseen():
+    import pandas as pd
+
+    from topicalcrawler_spark.operators.dedup import _probe_batches
+
+    keys = np.array([1, 2, 3], dtype=np.int64)
+    out = list(
+        _probe_batches(
+            iter([pd.DataFrame({"url_hash": keys})]),
+            lambda sid: None,
+            16,
+            4,
+        )
+    )
+    assert not out[0]["maybe_seen"].any()
+
+
+def test_shard_ids_rejects_non_power_of_two():
+    import pytest
+
+    from topicalcrawler_spark.operators.dedup import shard_ids
+
+    with pytest.raises(AssertionError):
+        shard_ids(np.array([1], dtype=np.int64), 12)
+    # n_shards=1: everything is shard 0, no undefined 64-bit shift
+    assert shard_ids(np.array([1, -5], dtype=np.int64), 1).tolist() == [0, 0]

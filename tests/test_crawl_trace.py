@@ -64,6 +64,32 @@ def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
     assert sseen == oseen
 
 
+def test_bloom_file_distribution_path_is_trace_identical(spark, tmp_path):
+    """The SURVEY §4.2 design-point path: shard bitmaps as
+    partition-local parquet files probed in place (no driver
+    collect+broadcast).  Forced via bloom_file_min_keys=0 — the trace
+    and seen set must still be byte-identical to the oracle, and the
+    shard files must actually exist on disk."""
+    import glob
+    import os
+
+    strace, sseen, cfg = _spark_crawl(
+        spark,
+        tmp_path,
+        4,
+        use_bloom=True,
+        bloom_min_keys=0,
+        bloom_file_min_keys=0,
+    )
+    otrace, oseen = _oracle_crawl(4)
+    assert strace == otrace
+    assert sseen == oseen
+    shard_files = glob.glob(
+        os.path.join(cfg.table("bloom"), "round-*", "shard_id=*", "*.parquet")
+    )
+    assert shard_files, "file-based bloom path wrote no shard bitmaps"
+
+
 def test_crawl_exhausts_frontier_and_stays_oracle_equal(spark, tmp_path):
     """Depth cap 1 + generous uniform budgets drain the frontier after
     a few rounds; further rounds must be clean no-ops (n_pending == 0)

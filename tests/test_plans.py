@@ -66,14 +66,15 @@ def test_whole_stage_codegen_on_agg_path(spark):
 
 
 def test_semi_and_anti_join_operators(spark):
-    assert "LeftSemi" in _plan(spark, "semi_join_customers")
-    assert "LeftAnti" in _plan(spark, "anti_join_customers")
+    plan = _plan(spark, "semi_anti_join_customers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_no_python_udf_in_pure_relational_queries(spark):
     # 2.H families and the TPC-H surface must stay JVM-side
     for name in ("pricing_summary", "revenue_by_nation", "window_rank_orders",
-                 "string_functions_part", "simhash_docs", "fingerprint_docs"):
+                 "scalar_functions_part", "simhash_docs", "fingerprint_docs"):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name

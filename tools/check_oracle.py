@@ -100,9 +100,12 @@ def main():
             continue
         sql = sqls.get(name)
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(s_vals)} rows, "
-                  f"{time.monotonic()-t0:.1f}s)")
-            n_pass += 1
+            # rows-only entries are a FAIL locally: the round-1 lesson
+            # was that every registry entry must carry an exact oracle —
+            # this keeps the leniency gap from silently re-opening.
+            print(f"FAIL {name}: rows-only entry (no oracle SQL) — "
+                  f"every registry entry must be exact-oracle-checked")
+            n_fail += 1
             continue
         try:
             res = con.sql(sql)

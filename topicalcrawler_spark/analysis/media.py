@@ -3,15 +3,20 @@
 Images are REAL in this engine (PPM/PNG/qraw decode via
 core.imagecodec — numpy+zlib, no PIL needed): decode_features and
 resize_images do actual pixel work in Arrow-batched mapInPandas.
-Audio/video libraries are not in this container, so frame-sample and
-audio-features expose the full Spark-side contract (schema, batch
-shape, partitioning) over a clearly-marked deterministic stub decoder
-— swap `_decode_av_stub` for a real codec on a cluster with ffmpeg.
+Video is real too, over the ``qvid`` container defined below (magic +
+dimensions + zlib-packed raw RGB frames): ``sample_frames`` decodes
+actual pixel data and phashes every sampled frame — no stub, and the
+full pipeline is oracle-checked end-to-end (round-2 carried a
+hash-faking ``_decode_av_stub`` here; it is gone).  ffmpeg-grade
+codecs (H.264 etc.) are still absent from this container — on a real
+cluster the qvid parser swaps for an ffmpeg call with the identical
+operator contract.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -115,7 +120,9 @@ def resize_images(corpus: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
     return corpus.mapInPandas(run, schema=out_schema)
 
 
-# ---------------------------------------------------------------- A/V stubs
+# -------------------------------------------------------- video (qvid)
+
+QVID_MAGIC = b"QVID"
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -123,35 +130,74 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_ts_ms", T.LongType()),
         T.StructField("frame_phash", T.LongType()),
+        T.StructField("frame_mean_luma", T.DoubleType()),
     ]
 )
 
 
-def _decode_av_stub(media_id: str, payload: bytes, n: int) -> list[tuple]:
-    """STUB A/V decoder — deterministic fake (no ffmpeg/librosa in this
-    container). Emits n 'frames' whose phash is an md5-derived value of
-    (media_id, frame_idx); replace with a real decoder on a full
-    cluster. The Spark-side plumbing (schema, explode shape, Arrow
-    batching) is the real contract being exercised."""
+def encode_qvid(frames: np.ndarray, interval_ms: int = 40) -> bytes:
+    """Pack (n, h, w, 3) uint8 frames into the qvid container:
+    magic | u16be w,h,n_frames,interval_ms | zlib(raw RGB frames)."""
+    n, h, w, _ = frames.shape
+    header = QVID_MAGIC + struct.pack(">HHHH", w, h, n, interval_ms)
+    return header + zlib.compress(np.ascontiguousarray(frames).tobytes())
+
+
+def decode_qvid(data: bytes) -> tuple[int, np.ndarray]:
+    """Parse a qvid payload → (interval_ms, frames (n,h,w,3) uint8).
+    Raises ValueError on a corrupt container (bad magic / short body)."""
+    if len(data) < 12 or data[:4] != QVID_MAGIC:
+        raise ValueError("not a qvid container")
+    w, h, n, interval_ms = struct.unpack(">HHHH", data[4:12])
+    raw = zlib.decompress(data[12:])
+    if len(raw) != n * h * w * 3:
+        raise ValueError("qvid body length mismatch")
+    return interval_ms, np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w, 3)
+
+
+def _sample_one(media_id: str, payload: bytes, every_k: int) -> list[tuple]:
+    """Decode one qvid payload and emit every k-th frame's features —
+    the shared kernel (Spark operator + oracle generator), so the
+    driver's comparison checks the distributed decode path through
+    Arrow transport against the same math evaluated locally."""
+    try:
+        interval_ms, frames = decode_qvid(bytes(payload or b""))
+    except Exception:
+        return [(media_id, -1, -1, 0, 0.0)]
     out = []
-    for i in range(n):
-        h = hashlib.md5(f"{media_id}:{i}".encode()).digest()
-        out.append((media_id, i, i * 1000, int.from_bytes(h[:8], "big") >> 4))
+    for i in range(0, frames.shape[0], every_k):
+        px = frames[i].astype(np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        out.append(
+            (
+                media_id,
+                i,
+                i * interval_ms,
+                phash64(frames[i]),
+                round(float(luma.mean()), 4),
+            )
+        )
     return out
 
 
-def sample_frames(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
-    """Frame-sampling contract for video-ish binary columns: one input
-    row -> frames_per_item frame rows (UDTF-shaped, done columnar).
+# the oracle-fixture generator imports this name to state its intent
+expected_frame_rows = _sample_one
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over video binary columns: one input row →
+    ceil(n_frames / every_k) frame rows (UDTF-shaped, done columnar in
+    Arrow-batched mapInPandas), each with its timestamp, phash, and
+    mean luma — REAL qvid decode, no per-row Python in the plan.
+    Corrupt payloads yield a single (frame_idx=-1) sentinel row rather
+    than killing the task (100-TB corpora always contain garbage).
     Input needs (media_id:string, payload:binary)."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rows.extend(
-                    _decode_av_stub(mid, bytes(payload or b""), frames_per_item)
-                )
+                rows.extend(_sample_one(mid, payload, every_k))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields]
             )

@@ -34,7 +34,13 @@ def shard_ids(keys: np.ndarray, n_shards: int) -> np.ndarray:
     that) AND aligned with the seen table's url_hash RANGE partitioning
     — so one partition overlaps only ~1-2 shards, which is what lets
     the builder keep just a couple of partial bitmaps per task.
-    n_shards must be a power of two."""
+    n_shards must be a power of two — asserted HERE (not only in
+    build_bloom_shards) so a probe-side caller with a mismatched
+    n_shards fails fast instead of silently truncating log2 (and
+    n_shards=1 never reaches an undefined 64-bit numpy shift)."""
+    assert n_shards > 0 and n_shards & (n_shards - 1) == 0, "power of two"
+    if n_shards == 1:
+        return np.zeros(len(keys), dtype=np.int64)
     shift = np.uint64(64 - int(math.log2(n_shards)))
     return (
         np.ascontiguousarray(keys.astype(np.int64)).view(np.uint64) >> shift
@@ -56,6 +62,26 @@ def dedup_batch(links: DataFrame) -> DataFrame:
 def anti_join_seen(links: DataFrame, seen: DataFrame) -> DataFrame:
     """J1 phase 2 — the exact-set authority."""
     return links.join(seen, ["url_hash", "url_canon"], "left_anti")
+
+
+def _probe_batches(batches, get_shard, n_shards: int, k: int):
+    """Shared probe kernel: annotate each Arrow batch with maybe_seen.
+    ``get_shard(sid) -> uint8 bitmap | None`` supplies bitmaps —
+    a broadcast list lookup on the small-set path, a lazy per-shard
+    file read on the distributed path (None = shard has no keys, so
+    nothing in it can be seen).  Kept injectable so tests can count
+    exactly which shards a partition pulls."""
+    for pdf in batches:
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        sids = shard_ids(keys, n_shards)
+        hit = np.zeros(len(pdf), dtype=bool)
+        for sid in np.unique(sids):
+            bm = get_shard(int(sid))
+            if bm is None:
+                continue
+            m = sids == sid
+            hit[m] = bloom.probe(keys[m], bm, k)
+        yield pdf.assign(maybe_seen=pd.Series(hit, index=pdf.index))
 
 
 def bloom_prefilter(
@@ -81,46 +107,64 @@ def bloom_prefilter(
 
     def probe_iter(batches):
         shards = b_shards.value
-        for pdf in batches:
-            keys = pdf["url_hash"].to_numpy(dtype=np.int64)
-            sids = shard_ids(keys, n_shards)
-            hit = np.zeros(len(pdf), dtype=bool)
-            for sid in np.unique(sids):
-                m = sids == sid
-                hit[m] = bloom.probe(keys[m], shards[sid], k)
-            yield pdf.assign(maybe_seen=pd.Series(hit, index=pdf.index))
+        yield from _probe_batches(
+            batches, lambda sid: shards[sid], n_shards, k
+        )
 
     return links.mapInPandas(probe_iter, schema=out_schema)
 
 
-def build_bloom_shards(
-    seen: DataFrame, n_shards: int, fpp: float = 0.01, total: int | None = None
-) -> tuple[list[bytes], int]:
-    """A5 — per-shard bloom bitmaps, built scale-safe; returns
-    (bitmaps, k).
+def bloom_prefilter_files(
+    links: DataFrame, shard_dir: str, n_shards: int, k: int
+) -> DataFrame:
+    """J1 phase 1, distributed-bitmap form (SURVEY §4.2 crossover) —
+    same contract as ``bloom_prefilter`` but the bitmaps live as
+    partition-local parquet files (``write_bloom_shard_files``), NEVER
+    transiting the driver: each probe task lazily reads ONLY the shards
+    its url_hash range touches (shard = top url_hash bits = the seen
+    table's range-partitioning key, so that is 1-2 files per task),
+    caching them for the task's remaining batches.  At the 10^10-key
+    design point this replaces a multi-GB driver collect+broadcast with
+    O(bitmap × shards-touched) per executor read from shared storage
+    (on a cluster, ``shard_dir`` is an HDFS/S3 path).  A shard with no
+    keys has no file and probes as all-unseen."""
+    from pyspark.sql import types as T
 
-    Round-1's grouped-map build pulled every url_hash of a shard into
-    ONE pandas group (~5 GB of keys per task at the 10^10-key design
-    point) and was replaced by:
+    out_schema = T.StructType(
+        list(links.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
 
-      1. ``mapInPandas`` over the seen table's existing partitions —
-         each task STREAMS its Arrow batches into at most a couple of
-         partial bitmaps (shard = top url_hash bits, which aligns with
-         the table's url_hash range partitioning), so per-task memory
-         is O(bitmap), never O(keys);
-      2. a tiny grouped OR-merge of the partials per shard
-         (``bloom.merge``, commutative + property-tested);
-      3. one collect of the n_shards merged bitmaps for broadcast.  At
-         10^10 keys the documented crossover (SURVEY.md §4) is
-         partition-local bitmap files probed in place of a driver
-         broadcast — the build path above already never concentrates
-         keys anywhere.
+    def probe_iter(batches):
+        import glob as _glob
 
-    All shards share one (n_bits, k) sizing derived from the expected
-    per-shard load so probe code stays branch-free. Pass ``total``
-    (e.g. an icelite manifest row_count) to skip the sizing count job.
-    n_shards must be a power of two (top-bits shard function).
-    """
+        import pyarrow.parquet as _pq
+
+        cache: dict[int, np.ndarray | None] = {}
+
+        def get_shard(sid: int):
+            if sid not in cache:
+                files = _glob.glob(f"{shard_dir}/shard_id={sid}/*.parquet")
+                if not files:
+                    cache[sid] = None
+                else:
+                    bits = _pq.read_table(files[0], columns=["bits"])
+                    cache[sid] = np.frombuffer(
+                        bits["bits"][0].as_py(), dtype=np.uint8
+                    )
+            return cache[sid]
+
+        yield from _probe_batches(batches, get_shard, n_shards, k)
+
+    return links.mapInPandas(probe_iter, schema=out_schema)
+
+
+def _merged_shard_bitmaps(
+    seen: DataFrame, n_shards: int, fpp: float, total: int | None
+) -> tuple[DataFrame, int, int]:
+    """The shared scale-safe BUILD: streamed per-partition partial
+    bitmaps OR-merged per shard.  Returns (merged_df(shard_id, bits),
+    n_bits, k) — the two distribution paths below differ only in where
+    the merged bitmaps go (driver broadcast vs partition-local files)."""
     assert n_shards > 0 and n_shards & (n_shards - 1) == 0, "power of two"
     if total is None:
         total = seen.count()
@@ -162,6 +206,51 @@ def build_bloom_shards(
     merged = partial_df.groupBy("shard_id").applyInPandas(
         merge_group, schema="shard_id int, bits binary"
     )
+    return merged, n_bits, k
+
+
+def write_bloom_shard_files(
+    seen: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    fpp: float = 0.01,
+    total: int | None = None,
+) -> int:
+    """A5, distributed form (SURVEY §4.2) — the merged shard bitmaps
+    are written straight from their merge tasks as parquet files
+    partitioned by shard_id (``out_dir/shard_id=N/``), so NO bitmap
+    ever transits the driver; ``bloom_prefilter_files`` probes them in
+    place.  Returns k.  Dictionary encoding off: bitmaps are fat unique
+    binaries (same pathology as the corpus bytes column)."""
+    merged, _n_bits, k = _merged_shard_bitmaps(seen, n_shards, fpp, total)
+    merged.write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).partitionBy("shard_id").parquet(out_dir)
+    return k
+
+
+def build_bloom_shards(
+    seen: DataFrame, n_shards: int, fpp: float = 0.01, total: int | None = None
+) -> tuple[list[bytes], int]:
+    """A5, broadcast form — per-shard bloom bitmaps; returns
+    (bitmaps, k).  The small-seen-set fast path: one collect of
+    n_shards merged bitmaps for broadcast.  Past
+    ``CrawlConfig.bloom_file_min_keys`` the crawl switches to
+    ``write_bloom_shard_files`` + ``bloom_prefilter_files`` so the
+    (by then multi-GB) bitmap set never moves through one JVM.
+
+    Round-1's grouped-map build pulled every url_hash of a shard into
+    ONE pandas group (~5 GB of keys per task at the 10^10-key design
+    point) and was replaced by the streamed-partials + OR-merge
+    pipeline (``_merged_shard_bitmaps``): per-task memory is O(bitmap),
+    never O(keys), and the OR-merge is commutative (property-tested).
+
+    All shards share one (n_bits, k) sizing derived from the expected
+    per-shard load so probe code stays branch-free. Pass ``total``
+    (e.g. an icelite manifest row_count) to skip the sizing count job.
+    n_shards must be a power of two (top-bits shard function).
+    """
+    merged, n_bits, k = _merged_shard_bitmaps(seen, n_shards, fpp, total)
     rows = {r["shard_id"]: r["bits"] for r in merged.collect()}
     empty = bloom.build(np.array([], dtype=np.int64), n_bits, k).tobytes()
     return [rows.get(i, empty) for i in range(n_shards)], k

@@ -85,8 +85,18 @@ def global_fetch_order(
     """
     spark = selected.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
-    ranged = selected.repartitionByRange(n, *order_cols()).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist the ranged layout: BOTH consumers below (the counts
+    # subtree and the per-partition rank) must see the SAME sampled
+    # range boundaries.  Relying on ReuseExchange alone is fragile
+    # (spark.sql.exchange.reuse off, or plan divergence, would let the
+    # two subtrees re-sample different boundaries and desync _pid from
+    # the offsets) — a persisted partitioning is computed once by
+    # construction.  The selected set is politeness-budget-bounded, so
+    # the footprint is small and LRU-evictable.
+    ranged = (
+        selected.repartitionByRange(n, *order_cols())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = (

@@ -46,10 +46,13 @@ from ..functions import (
 from ..operators.dedup import (
     anti_join_seen,
     bloom_prefilter,
+    bloom_prefilter_files,
     build_bloom_shards,
     dedup_batch,
+    write_bloom_shard_files,
 )
 from ..operators.fetch import fetch_selected
+from ..operators.gates import scheme_depth_gate
 from ..operators.politeness import (
     global_fetch_order,
     select_per_host_topk,
@@ -78,6 +81,16 @@ class CrawlConfig:
     # bloom_min_keys=0).  At the 10^10 design point the filter always
     # engages.
     bloom_min_keys: int = 50_000
+    # second crossover (SURVEY §4.2): past this seen-set size the
+    # merged shard bitmaps are multi-GB in aggregate — they are written
+    # as partition-local parquet files (write_bloom_shard_files) and
+    # probed in place (bloom_prefilter_files, 1-2 shard reads per
+    # task), instead of collect+broadcast through the driver.  50M keys
+    # at fpp=0.01 is ~60 MB of bitmap — the last size where a driver
+    # round-trip is still harmless; at the 10^10 design point the file
+    # path always engages.  Results identical either way (trace test
+    # pins it by forcing bloom_file_min_keys=0).
+    bloom_file_min_keys: int = 50_000_000
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
     # per-crawl memo of the static dim DataFrames (robots/budgets do
@@ -337,16 +350,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         .withColumn("relevance", relevance_expr("relevance_q"))
         .withColumn("round", F.lit(round_n))
         .withColumn("status", F.lit("pending"))
-        # P4: scheme + depth gate
-        .filter(
-            (F.col("depth") <= cfg.max_depth)
-            & (
-                F.col("url_canon").startswith("http://")
-                | F.col("url_canon").startswith("https://")
-            )
-        )
         .select(*[f.name for f in FRONTIER.fields])
     )
+    # P4: scheme + depth gate (operators.gates — oracle-checked by the
+    # frontier_scheme_depth_filter registry entry)
+    links = scheme_depth_gate(links, cfg.max_depth)
     links = dedup_batch(links)
 
     seen_snap_id = icelite.latest_snapshot_id(cfg.table("seen"))
@@ -357,12 +365,24 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # pays only when the seen table is big enough that skipping the
     # exact join for definitely-fresh rows beats the two bloom jobs
     if cfg.use_bloom and n_seen >= cfg.bloom_min_keys:
-        shard_bits, k = build_bloom_shards(
-            seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
-        )
+        if n_seen >= cfg.bloom_file_min_keys:
+            # distributed bitmaps: shard files written executor-side,
+            # probed in place — nothing transits the driver
+            shard_dir = os.path.join(
+                cfg.table("bloom"), f"round-{round_n:06d}"
+            )
+            k = write_bloom_shard_files(
+                seen, shard_dir, cfg.n_shards, cfg.bloom_fpp, total=n_seen
+            )
+            probe = bloom_prefilter_files(links, shard_dir, cfg.n_shards, k)
+        else:
+            shard_bits, k = build_bloom_shards(
+                seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
+            )
+            probe = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
         # cache the probe output: both branches below read it, so the
         # Arrow probe pass runs once, not once per branch
-        probed = bloom_prefilter(links, shard_bits, cfg.n_shards, k).cache()
+        probed = probe.cache()
         # definitely-unseen rows skip the exact join; possible hits go
         # through the exact anti-join (the authority)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")

@@ -175,3 +175,37 @@ def make_corpus(n: int = 2000, near_dup_rate: float = 0.01) -> list[dict]:
             }
         )
     return rows
+
+
+# ---------------------------------------------------------------- F9 videos
+
+
+def make_videos(n: int = 60) -> list[dict]:
+    """qvid video fixtures: (media_id, payload) rows, 4-10 frames each
+    of drifting synthetic pixels (frame f = base pixels rolled f steps,
+    so consecutive frames are near-dups and sampled phashes vary).
+    One row in ~15 carries a deliberately corrupt payload — the frame
+    sampler must emit its sentinel row, never crash."""
+    from ..analysis.media import encode_qvid
+
+    rows = []
+    for i in range(n):
+        r = np.random.default_rng(4200 + i)
+        if i % 15 == 14:
+            rows.append(
+                {"media_id": f"vid-{i:06d}", "payload": b"JUNK" + bytes(r.integers(0, 256, size=64, dtype=np.uint8))}
+            )
+            continue
+        w, h = int(r.integers(16, 33)), int(r.integers(16, 33))
+        nf = int(r.integers(4, 11))
+        base = make_pixels(4200 + i, w, h)
+        frames = np.stack(
+            [np.roll(base, shift=3 * f, axis=1) for f in range(nf)]
+        )
+        rows.append(
+            {
+                "media_id": f"vid-{i:06d}",
+                "payload": encode_qvid(frames, interval_ms=40),
+            }
+        )
+    return rows

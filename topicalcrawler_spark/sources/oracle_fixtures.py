@@ -1,101 +1,94 @@
-"""Parquet side-files that let DuckDB oracle-check the corpus-fixture
-queries (phash near-dup, decode features).
+"""Embedded-VALUES oracle SQL for the corpus-fixture queries (phash
+near-dup / components, decode+resize features, A/V frame sampling).
 
-The driver's DuckDB views cover only the ten sandbox tables, but its
-oracle SQL can read any parquet path — so the fixture generator writes
-its deterministic expectations to fixed paths under /tmp and the oracle
-SQL reads them back.  Writes are atomic (tmp file + os.replace) and
-idempotent; both ``oracle_sql()`` and the query functions trigger them,
-so either driver ordering (SQL first or Spark first) finds the files.
+Round-2 shipped these oracles as parquet side-files under /tmp that the
+driver's DuckDB was expected to read back — fragile (any driver that
+runs the SQL in an environment that never imported this package sees no
+file).  Round 3 inlines the deterministic fixture data directly into
+the oracle SQL as a ``VALUES`` list: the SQL is then self-contained ANSI
+SQL DuckDB can run anywhere, with zero filesystem coupling.
+
+Independence contract unchanged: the VALUES carry fixture INPUTS
+(image ids + phashes) or expectations computed by the *generator-side*
+numpy kernels — the Spark side exercises the distributed path (Arrow
+batching, mapInPandas decode, LSH band joins); the oracle replays the
+math locally.  Every builder is deterministic (seeded generators), so
+the SQL string is identical on every call; builders are lazy (invoked
+by ``oracle_sql()``) so importing the registry stays cheap.
 """
 
 from __future__ import annotations
 
-import os
-
-import pyarrow as pa
-import pyarrow.parquet as pq
-
-FIXTURE_DIR = "/tmp/topicalcrawler_oracle_fixtures"
-CORPUS_PHASH_PATH = os.path.join(FIXTURE_DIR, "corpus_phash.parquet")
-CORPUS_FEATURES_PATH = os.path.join(FIXTURE_DIR, "corpus_features.parquet")
-CORPUS_RESIZE_PATH = os.path.join(FIXTURE_DIR, "corpus_resize_features.parquet")
-
 PHASH_N, PHASH_NEAR_DUP_RATE = 400, 0.03
 FEATURES_N = 200
 RESIZE_W = RESIZE_H = 32
+AV_N, AV_EVERY_K = 60, 2
 
 
-def _atomic_write(table: pa.Table, path: str) -> None:
-    os.makedirs(FIXTURE_DIR, exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+def _f(v: float) -> str:
+    """Exact double literal: repr() is the shortest round-tripping
+    decimal, and DuckDB's CAST(<literal> AS DOUBLE) parses it back to
+    the bit-identical IEEE double."""
+    return f"CAST({v!r} AS DOUBLE)"
 
 
-def ensure_phash_fixture() -> str:
-    """(image_id, phash) of the J8 fixture corpus — the oracle
-    brute-forces all-pairs hamming over it in DuckDB."""
-    if not os.path.exists(CORPUS_PHASH_PATH):
-        from .fixtures import make_corpus
-
-        rows = make_corpus(PHASH_N, near_dup_rate=PHASH_NEAR_DUP_RATE)
-        _atomic_write(
-            pa.table(
-                {
-                    "image_id": [r["image_id"] for r in rows],
-                    "phash": pa.array(
-                        [r["phash"] for r in rows], type=pa.int64()
-                    ),
-                }
-            ),
-            CORPUS_PHASH_PATH,
-        )
-    return CORPUS_PHASH_PATH
+def _i(v: int) -> str:
+    return f"CAST({int(v)} AS BIGINT)"
 
 
-def _features_table(rows: list[dict], feats: list[tuple]) -> pa.Table:
-    return pa.table(
-        {
-            "image_id": [r["image_id"] for r in rows],
-            "decode_ok": pa.array([f[0] for f in feats], type=pa.bool_()),
-            "mean_r": pa.array([f[1] for f in feats], type=pa.float64()),
-            "mean_g": pa.array([f[2] for f in feats], type=pa.float64()),
-            "mean_b": pa.array([f[3] for f in feats], type=pa.float64()),
-            "luma_std": pa.array([f[4] for f in feats], type=pa.float64()),
-            "dec_phash": pa.array([f[5] for f in feats], type=pa.int64()),
-        }
+def _b(v: bool) -> str:
+    return "TRUE" if v else "FALSE"
+
+
+def phash_values_sql() -> str:
+    """``(image_id, phash)`` VALUES rows of the J8 fixture corpus —
+    the oracle brute-forces all-pairs hamming over them in DuckDB."""
+    from .fixtures import make_corpus
+
+    rows = make_corpus(PHASH_N, near_dup_rate=PHASH_NEAR_DUP_RATE)
+    return ",\n      ".join(
+        f"('{r['image_id']}', {_i(r['phash'])})" for r in rows
     )
 
 
-def ensure_resize_features_fixture() -> str:
-    """Expected features of the resize→re-encode→decode pipeline
-    (decode → nearest-neighbor resample → PPM → features), computed
-    locally through the same library kernels the Spark operators run."""
-    if not os.path.exists(CORPUS_RESIZE_PATH):
-        from ..analysis.media import image_features, resize_pixels
-        from ..core.imagecodec import decode, encode_ppm
-        from .fixtures import make_corpus
+def features_values_sql() -> str:
+    """Expected decode + resize-pipeline features of the U4 fixture
+    corpus, computed locally with the same analysis.media kernels the
+    Spark operators run on executors (decode → features, and decode →
+    nearest-neighbor resample → PPM re-encode → features)."""
+    from ..analysis.media import image_features, resize_pixels
+    from ..core.imagecodec import decode, encode_ppm
+    from .fixtures import make_corpus
 
-        rows = make_corpus(FEATURES_N)
-        feats = []
-        for r in rows:
-            px = decode(r["bytes"], r["fmt"])
-            ppm = encode_ppm(resize_pixels(px, RESIZE_W, RESIZE_H))
-            feats.append(image_features(ppm, "ppm"))
-        _atomic_write(_features_table(rows, feats), CORPUS_RESIZE_PATH)
-    return CORPUS_RESIZE_PATH
+    vals = []
+    for r in make_corpus(FEATURES_N):
+        d = image_features(r["bytes"], r["fmt"])
+        px = decode(r["bytes"], r["fmt"])
+        z = image_features(encode_ppm(resize_pixels(px, RESIZE_W, RESIZE_H)), "ppm")
+        vals.append(
+            "('{iid}', {d0}, {d1}, {d2}, {d3}, {d4}, {d5}, "
+            "{z0}, {z1}, {z2}, {z3}, {z4}, {z5})".format(
+                iid=r["image_id"],
+                d0=_b(d[0]), d1=_f(d[1]), d2=_f(d[2]), d3=_f(d[3]),
+                d4=_f(d[4]), d5=_i(d[5]),
+                z0=_b(z[0]), z1=_f(z[1]), z2=_f(z[2]), z3=_f(z[3]),
+                z4=_f(z[4]), z5=_i(z[5]),
+            )
+        )
+    return ",\n      ".join(vals)
 
 
-def ensure_features_fixture() -> str:
-    """Expected decode features of the U4 fixture corpus, computed
-    locally with the same analysis.media.image_features the Spark
-    operator runs on executors."""
-    if not os.path.exists(CORPUS_FEATURES_PATH):
-        from ..analysis.media import image_features
-        from .fixtures import make_corpus
+def av_frames_values_sql() -> str:
+    """Expected sampled-frame rows of the qvid fixture videos, computed
+    locally through the same decode_qvid/phash kernels the Spark
+    frame-sampling operator runs."""
+    from ..analysis.media import expected_frame_rows
+    from .fixtures import make_videos
 
-        rows = make_corpus(FEATURES_N)
-        feats = [image_features(r["bytes"], r["fmt"]) for r in rows]
-        _atomic_write(_features_table(rows, feats), CORPUS_FEATURES_PATH)
-    return CORPUS_FEATURES_PATH
+    vals = []
+    for r in make_videos(AV_N):
+        for mid, idx, ts, ph, luma in expected_frame_rows(
+            r["media_id"], r["payload"], AV_EVERY_K
+        ):
+            vals.append(f"('{mid}', {int(idx)}, {_i(ts)}, {_i(ph)}, {_f(luma)})")
+    return ",\n      ".join(vals)

@@ -200,11 +200,14 @@ def stateful_politeness(
     SURVEY.md §7 hard part 6: URL-grain state lives only in the seen
     table, never here).
 
-    ``impl``: 'auto' uses ``transformWithStateInPandas`` when its
-    protobuf runtime dependency is present (``tws_available``) and
-    falls back to ``applyInPandasWithState`` otherwise; 'tws' /
-    'apply' force a path."""
-    if impl == "tws" or (impl == "auto" and tws_available()):
+    ``impl``: 'auto' uses the ``applyInPandasWithState`` path — the one
+    whose cross-batch parity test has actually EXECUTED (the tws leg
+    skips in this sandbox: no protobuf, so its runtime behavior is
+    unverified here).  'tws' forces ``transformWithStateInPandas`` —
+    opt in once the parity test has run on a protobuf-equipped cluster
+    (the test is parametrized over both impls and engages
+    automatically there); 'apply' forces the fallback explicitly."""
+    if impl == "tws":
         return stateful_politeness_tws(stream, tokens_per_host, host_col)
 
     def bucket(key, pdfs, state: GroupState):
