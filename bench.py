@@ -88,6 +88,18 @@ def bench_crawl(spark, n_seeds: int = 2000, rounds: int = 2) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _steal_ticks() -> int:
+    """Machine-wide hypervisor-steal ticks (col 9 of /proc/stat) —
+    recorded into the output line because this VM's documented bursty
+    neighbor can slow every query 3-4x with identical code/plans; the
+    number lets any reader judge whether a given run was noisy."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def main() -> None:
     from topicalcrawler_spark.session import get_spark
 
@@ -99,6 +111,7 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup doesn't pollute timings
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    s0 = _steal_ticks()
     t0 = time.monotonic()
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
@@ -114,6 +127,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "crawl": crawl,
+                "cpu_steal_core_s": round((_steal_ticks() - s0) / 100, 1),
             }
         )
     )

@@ -278,3 +278,33 @@ def test_media_frame_sampling_real_decode(spark):
             expect[(mid, idx)] = (ts, ph, luma)
     assert got == expect
     assert got[("vid-bad", -1)] == (-1, 0, 0.0)
+
+
+def test_qaud_codec_and_audio_features(spark):
+    """audio_features does REAL PCM decode: per-clip duration/RMS/peak/
+    zero-crossings match the generator-side kernel, and corrupt clips
+    degrade to the decode_ok=False sentinel."""
+    import numpy as np
+
+    from topicalcrawler_spark.analysis.media import (
+        _audio_features_one,
+        decode_qaud,
+        encode_qaud,
+    )
+    from topicalcrawler_spark.sources.fixtures import make_audio
+
+    # codec round-trip
+    pcm = (np.sin(np.linspace(0, 60, 800)) * 20000).astype(np.int16)
+    rate, back = decode_qaud(encode_qaud(pcm, 8000))
+    assert rate == 8000 and (back == pcm).all()
+
+    clips = make_audio(24)  # includes corrupt rows at i%12==11
+    df = spark.createDataFrame(clips, "media_id string, payload binary")
+    got = {r["media_id"]: tuple(r) for r in media.audio_features(df).collect()}
+    for c in clips:
+        assert got[c["media_id"]] == _audio_features_one(
+            c["media_id"], c["payload"]
+        )
+    assert got["aud-000011"][1] is False  # corrupt -> sentinel
+    ok_rows = [v for v in got.values() if v[1]]
+    assert ok_rows and all(v[3] > 0 and v[5] > 0 for v in ok_rows)

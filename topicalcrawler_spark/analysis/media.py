@@ -184,6 +184,85 @@ def _sample_one(media_id: str, payload: bytes, every_k: int) -> list[tuple]:
 expected_frame_rows = _sample_one
 
 
+AUDIO_MAGIC = b"QAUD"
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def encode_qaud(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Pack mono int16 PCM into the qaud container:
+    magic | u32be sample_rate | u32be n_samples | zlib(PCM)."""
+    pcm = np.ascontiguousarray(samples.astype("<i2"))
+    header = AUDIO_MAGIC + struct.pack(">II", sample_rate, len(pcm))
+    return header + zlib.compress(pcm.tobytes())
+
+
+def decode_qaud(data: bytes) -> tuple[int, np.ndarray]:
+    """Parse a qaud payload → (sample_rate, int16 samples).
+    Raises ValueError on a corrupt container."""
+    if len(data) < 12 or data[:4] != AUDIO_MAGIC:
+        raise ValueError("not a qaud container")
+    sample_rate, n = struct.unpack(">II", data[4:12])
+    raw = zlib.decompress(data[12:])
+    if len(raw) != n * 2 or sample_rate == 0:
+        raise ValueError("qaud body length mismatch")
+    return sample_rate, np.frombuffer(raw, dtype="<i2")
+
+
+def _audio_features_one(media_id: str, payload: bytes) -> tuple:
+    """Shared kernel (Spark operator + fixture expectations): decode
+    and summarize one clip — duration, RMS level, peak, zero-crossing
+    count (the cheap voicedness/noise discriminator)."""
+    try:
+        rate, pcm = decode_qaud(bytes(payload or b""))
+    except Exception:
+        return (media_id, False, -1, 0.0, 0, 0)
+    x = pcm.astype(np.float64)
+    rms = round(float(np.sqrt(np.mean(x * x))), 4) if len(x) else 0.0
+    peak = int(np.abs(pcm).max()) if len(pcm) else 0
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return (
+        media_id,
+        True,
+        int(len(pcm) * 1000 // rate),
+        rms,
+        peak,
+        zc,
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary qaud columns — REAL PCM
+    decode in Arrow-batched mapInPandas (duration/RMS/peak/zero
+    crossings per clip); corrupt payloads degrade to a decode_ok=False
+    sentinel row.  Same operator contract as an ffmpeg/librosa-backed
+    decode on a real cluster.  Input needs (media_id:string,
+    payload:binary)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                _audio_features_one(mid, payload)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame sampling over video binary columns: one input row →
     ceil(n_frames / every_k) frame rows (UDTF-shaped, done columnar in

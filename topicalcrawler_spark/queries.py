@@ -1653,7 +1653,13 @@ def phash_components_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric min), i.e. the canonical keeper of a visual duplicate
     group.  Completes the image-dedup pipeline (band join -> exact
     hamming verify -> cluster -> keeper); the oracle is a recursive-CTE
-    transitive closure over the same embedded phashes."""
+    transitive closure over the same embedded phashes.
+
+    This entry runs the O(log n) large-star/small-star contraction
+    (the 10^10-edge scale path) so BOTH clustering algorithms sit in
+    the driver's hard signal: dup_components_docs checks min-label
+    propagation, this one checks the star contraction, each against an
+    independent SQL closure."""
     from .operators.images import phash_near_dup_pairs
     from .schemas import CORPUS
     from .sources.fixtures import make_corpus
@@ -1664,7 +1670,7 @@ def phash_components_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = phash_near_dup_pairs(corpus, max_hamming=8).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    comps = dd.connected_components(
+    comps = dd.connected_components_star(
         pairs, corpus.select(F.col("image_id").alias("doc_id"))
     )
     return comps.select(F.col("doc_id").alias("image_id"), "comp")

@@ -209,3 +209,31 @@ def make_videos(n: int = 60) -> list[dict]:
             }
         )
     return rows
+
+
+# ---------------------------------------------------------------- F10 audio
+
+
+def make_audio(n: int = 40) -> list[dict]:
+    """qaud audio fixtures: (media_id, payload) rows of 0.1-0.5 s mono
+    int16 clips (seeded sine + noise mixes, so RMS/zero-crossing
+    expectations are non-trivial).  One row in ~12 is corrupt."""
+    from ..analysis.media import encode_qaud
+
+    rows = []
+    for i in range(n):
+        r = np.random.default_rng(5200 + i)
+        if i % 12 == 11:
+            rows.append({"media_id": f"aud-{i:06d}", "payload": b"XX" + bytes(8)})
+            continue
+        rate = 16000
+        dur = float(r.uniform(0.1, 0.5))
+        t = np.arange(int(rate * dur)) / rate
+        freq = float(r.uniform(100, 2000))
+        amp = float(r.uniform(0.1, 0.8))
+        x = amp * np.sin(2 * np.pi * freq * t) + 0.05 * r.standard_normal(len(t))
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        rows.append(
+            {"media_id": f"aud-{i:06d}", "payload": encode_qaud(pcm, rate)}
+        )
+    return rows
