@@ -154,3 +154,26 @@ def test_no_unpartitioned_window_in_trace_plan(spark):
         for r in rows
     ]
     assert keys == sorted(keys)
+
+
+def test_registry_wide_plan_sweep(spark):
+    """Every one of the 50 registry queries, two universal anti-pattern
+    bans asserted on the optimized physical plan (explain only, no
+    execution):
+
+    - no row-at-a-time Python UDF anywhere (BatchEvalPython) — Python
+      hot paths must be Arrow-vectorized (ArrowEvalPython / *InPandas);
+    - no unpartitioned Window node — a global window single-tasks the
+      whole input at 100x scale (round-1's scale-killer, banned here
+      registry-wide rather than per-query).
+    """
+    from topicalcrawler_spark.queries import REGISTRY
+
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "BatchEvalPython" not in plan, name
+        for spec in _window_specs(plan):
+            assert "], [], [" not in spec, f"{name}: unpartitioned window: {spec}"
