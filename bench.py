@@ -108,8 +108,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     spark = get_spark(app_name="bench", cpus=cpus)
-    # one warm-up action so JVM/codegen startup doesn't pollute timings
+    # warm-up actions so one-time startup doesn't pollute timings:
+    # a scan (JVM/codegen) and a trivial Arrow pass (spawns the Python
+    # UDF workers — local[32] forks 32 of them on first use)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    spark.range(10_000).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     s0 = _steal_ticks()
     t0 = time.monotonic()
