@@ -53,9 +53,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_crawl(spark, n_seeds: int = 2000, rounds: int = 2) -> dict:
+def bench_crawl(
+    spark, n_seeds: int = 2000, rounds: int = 2, big_budget: int | None = None
+) -> dict:
     """Crawl throughput: frontier URLs scheduled+fetched+deduped per
-    second over `rounds` rounds of the synthetic web."""
+    second over `rounds` rounds of the synthetic web.
+
+    The default 2k-seed config is kept for cross-round comparability
+    but is fixed-overhead-dominated (~110 fetches/round against ~10
+    Spark jobs of per-round scheduling); pass ``big_budget`` (see
+    crawl_large in main) for the fetch-heavy configuration that
+    measures actual engine throughput."""
     from topicalcrawler_spark.plans.round import CrawlConfig, run_crawl
     from topicalcrawler_spark.sources import fixtures as fx
 
@@ -73,7 +81,12 @@ def bench_crawl(spark, n_seeds: int = 2000, rounds: int = 2) -> dict:
     try:
         seeds = os.path.join(root, "seeds.txt")
         fx.write_seed_file(seeds, n=n_seeds)
-        cfg = CrawlConfig(root=os.path.join(root, "crawl"), use_bloom=True)
+        kw = (
+            {"default_budget": big_budget, "budget_rows": [], "max_depth": 4}
+            if big_budget
+            else {}
+        )
+        cfg = CrawlConfig(root=os.path.join(root, "crawl"), use_bloom=True, **kw)
         t0 = time.monotonic()
         stats = run_crawl(spark, cfg, seeds, rounds=rounds)
         wall = time.monotonic() - t0
@@ -121,6 +134,11 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
     total = round(time.monotonic() - t0, 3)
+    # fetch-heavy throughput config, measured OUTSIDE the comparable
+    # headline wall (50k-URL frontier, per-host budgets sized so the
+    # rounds actually fetch) — the number that reflects engine
+    # throughput rather than tiny-round fixed overhead
+    crawl_large = bench_crawl(spark, n_seeds=50_000, big_budget=1500)
 
     print(
         json.dumps(
@@ -132,6 +150,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "crawl": crawl,
+                "crawl_large": crawl_large,
                 "cpu_steal_core_s": round((_steal_ticks() - s0) / 100, 1),
             }
         )
