@@ -135,10 +135,12 @@ def main() -> None:
     crawl = bench_crawl(spark)
     total = round(time.monotonic() - t0, 3)
     # fetch-heavy throughput config, measured OUTSIDE the comparable
-    # headline wall (50k-URL frontier, per-host budgets sized so the
+    # headline wall (30k-URL frontier, per-host budgets sized so the
     # rounds actually fetch) — the number that reflects engine
-    # throughput rather than tiny-round fixed overhead
-    crawl_large = bench_crawl(spark, n_seeds=50_000, big_budget=1500)
+    # throughput rather than tiny-round fixed overhead; sized to keep
+    # the whole bench comfortably inside a few minutes even under the
+    # documented steal bursts
+    crawl_large = bench_crawl(spark, n_seeds=30_000, big_budget=1200)
 
     print(
         json.dumps(
