@@ -133,3 +133,30 @@ def test_resume_equivalence(spark, tmp_path):
     split_seen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
     assert split_trace == full_trace
     assert split_seen == full_seen
+
+
+def test_seen_compaction_is_result_invariant(spark, tmp_path):
+    """compact_seen_every rewrites the seen table mid-crawl (fewer,
+    range-clustered files + expiry of superseded snapshots) — a purely
+    physical maintenance op that must not change one trace row or seen
+    URL, and must actually shrink the table's file count."""
+    import os
+
+    from topicalcrawler_spark import icelite
+
+    strace, sseen, cfg = _spark_crawl(
+        spark, tmp_path, 4, use_bloom=True, bloom_min_keys=0,
+        compact_seen_every=2,
+    )
+    otrace, oseen = _oracle_crawl(4)
+    assert strace == otrace
+    assert sseen == oseen
+    seen_dir = cfg.table("seen")
+    files = icelite.read_manifest(
+        seen_dir, icelite.latest_snapshot_id(seen_dir)
+    )["files"]
+    # last compaction at round 4 rewrote to n_shards files; the
+    # (empty-or-small) post-compaction appends of the same round chain
+    # on top of it
+    assert len(files) <= cfg.n_shards * 3
+    assert all(os.path.exists(f) for f in files)

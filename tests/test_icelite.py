@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from topicalcrawler_spark import icelite
 
 
@@ -26,3 +28,39 @@ def test_commit_read_append_timetravel(spark, tmp_path):
     assert [m["snapshot_id"] for m in h] == [1, 2, 3]
     assert h[1]["parent_id"] == 1
     assert h[1]["row_count"] == 8
+
+
+def test_expire_snapshots_replace_and_append(spark, tmp_path):
+    """Expiry must reclaim superseded replace-mode files, keep every
+    file the surviving append-chain references, and leave the table
+    readable at every kept snapshot."""
+    from topicalcrawler_spark import icelite
+
+    t_rep = str(tmp_path / "rep")
+    for r in range(1, 5):
+        icelite.commit(
+            spark.range(r * 10).selectExpr("id AS v"), t_rep, r, mode="replace"
+        )
+    out = icelite.expire_snapshots(t_rep, keep_last=2)
+    assert out["deleted_snapshots"] == [1, 2]
+    assert out["deleted_files"] > 0
+    assert sorted(m["snapshot_id"] for m in icelite.history(t_rep)) == [3, 4]
+    assert icelite.read_snapshot(spark, t_rep).count() == 40
+    assert icelite.read_snapshot(spark, t_rep, 3).count() == 30
+
+    t_app = str(tmp_path / "app")
+    for r in range(1, 5):
+        icelite.commit(
+            spark.range(10).selectExpr(f"id + {r * 100} AS v"),
+            t_app,
+            r,
+            mode="append",
+        )
+    before = icelite.read_manifest(t_app, 4)["files"]
+    out = icelite.expire_snapshots(t_app, keep_last=1)
+    assert out["deleted_snapshots"] == [1, 2, 3]
+    # append chain: snapshot 4 references every file ever written —
+    # zero data loss, zero files reclaimed
+    assert out["deleted_files"] == 0
+    assert all(os.path.exists(f) for f in before)
+    assert icelite.read_snapshot(spark, t_app).count() == 40

@@ -203,3 +203,86 @@ def read_snapshot(
     if meta.get("select"):
         df = df.selectExpr(*meta["select"])
     return df
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """Iceberg ``expireSnapshots`` analogue — the maintenance half of
+    the checkpoint story: a 10^10-row crawl commits every round, and
+    without expiry every superseded snapshot's data files live forever.
+
+    Keeps the most recent ``keep_last`` snapshots (always at least the
+    LATEST pointer's), deletes older manifests, and deletes any data
+    file not referenced by a kept manifest.  Append-mode tables are
+    naturally safe: their manifests reference parent files, so shared
+    files stay referenced and only truly superseded files (replace-mode
+    rewrites, compactions) are reclaimed.  Crash-safe in the same way
+    as commit: manifests are deleted only after the files they
+    uniquely referenced are gone, and the kept chain is never touched.
+
+    Returns {"kept": [ids], "deleted_snapshots": [ids],
+    "deleted_files": n}.
+    """
+    ids = sorted(m["snapshot_id"] for m in history(table_dir))
+    if not ids:
+        return {"kept": [], "deleted_snapshots": [], "deleted_files": 0}
+    latest = latest_snapshot_id(table_dir)
+    keep = set(ids[-max(keep_last, 1):]) | {latest}
+    drop = [i for i in ids if i not in keep]
+    referenced: set[str] = set()
+    for i in keep:
+        referenced.update(read_manifest(table_dir, i)["files"])
+
+    n_deleted = 0
+    for i in drop:
+        for f in read_manifest(table_dir, i)["files"]:
+            if f not in referenced and os.path.exists(f):
+                os.remove(f)
+                n_deleted += 1
+        os.remove(_manifest_path(table_dir, i))
+    # sweep now-empty data dirs of dropped snapshots
+    for i in drop:
+        d = os.path.join(table_dir, "data", f"snap-{i:06d}")
+        if os.path.isdir(d) and not any(
+            fn.endswith(".parquet") for fn in os.listdir(d)
+        ):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+    return {
+        "kept": sorted(keep),
+        "deleted_snapshots": drop,
+        "deleted_files": n_deleted,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    round_n: int,
+    range_cols: list[str] | None = None,
+    target_files: int | None = None,
+) -> int:
+    """Iceberg ``rewriteDataFiles`` analogue: rewrite the LATEST
+    snapshot into ``target_files`` files and commit it as a new
+    replace-mode snapshot (the append chain restarts from the compacted
+    snapshot; ``expire_snapshots`` then reclaims the superseded small
+    files).
+
+    An append-per-round table grows by O(partitions) files per round —
+    thousands of files after a long crawl, each a listing+footer cost
+    on EVERY subsequent scan of the table (the seen-set is re-read each
+    round for the anti-join).  Compaction restores O(target_files).
+
+    ``range_cols``: repartitionByRange on these columns (keeps the
+    seen-set's url_hash-range clustering so the bloom shard alignment
+    and range pruning survive compaction); plain round-robin otherwise.
+    """
+    df = read_snapshot(spark, table_dir)
+    if target_files is None:
+        target_files = max(spark.sparkContext.defaultParallelism, 4)
+    if range_cols:
+        df = df.repartitionByRange(target_files, *range_cols)
+    else:
+        df = df.repartition(target_files)
+    return commit(df, table_dir, round_n, mode="replace",
+                  meta={"compacted": True})

@@ -91,6 +91,9 @@ class CrawlConfig:
     # path always engages.  Results identical either way (trace test
     # pins it by forcing bloom_file_min_keys=0).
     bloom_file_min_keys: int = 50_000_000
+    # compact+expire the seen table every K rounds (0 = off).  Physical
+    # maintenance only — never changes results (trace-test-pinned).
+    compact_seen_every: int = 0
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
     # per-crawl memo of the static dim DataFrames (robots/budgets do
@@ -407,6 +410,20 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # the commit just materialized cand_df's cache as a side effect, so
     # this count is a cache-local read, not a recompute job
     n_candidates = cand_df.count()
+    # maintenance plane: the seen table is re-read EVERY round for the
+    # anti-join but grows by O(n_shards) files per append — periodic
+    # compaction (url_hash-range, preserving shard alignment) + expiry
+    # keeps its file count O(n_shards) forever.  Pure physical rewrite:
+    # the trace test with compact_seen_every=2 pins result equality.
+    if cfg.compact_seen_every and round_n % cfg.compact_seen_every == 0:
+        icelite.compact(
+            spark,
+            cfg.table("seen"),
+            round_n,
+            range_cols=["url_hash"],
+            target_files=cfg.n_shards,
+        )
+        icelite.expire_snapshots(cfg.table("seen"), keep_last=2)
     mark("seen")
     residual = allowed.join(
         selected.select("url_canon"), "url_canon", "left_anti"
