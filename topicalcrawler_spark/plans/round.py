@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from datetime import timedelta
 
@@ -222,13 +223,22 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         "parquet.enable.dictionary", "false"  # fat binary col, see icelite
     ).parquet(fetch_dir)
     fetched = spark.read.parquet(fetch_dir)
+    mark("fetch_write")
 
     # 5. fetch metrics + U4 decode/phash verification (north_star:
     # "images decoded/phash-verified in Arrow-batch UDFs") + the robots
     # gate metrics, all in ONE action: the three aggregate subtrees are
     # cross-joined so a single job computes them in parallel (the gate
     # side reads the cached ``gated``) instead of paying serial job
-    # round-trips per metric.
+    # round-trips per metric.  The action is submitted from a second
+    # driver thread so its Python-CPU decode pass overlaps the
+    # shuffle-bound trace phase below — the two jobs touch disjoint
+    # resources (Arrow workers vs exchange+write) and neither depends
+    # on the other; the counters are joined exactly where first needed
+    # (the corpus commit).  Concurrent job submission from driver
+    # threads is a supported Spark pattern; all inputs (``fetched`` on
+    # disk, ``gated`` cached) are immutable by then, so the overlap
+    # cannot change any result.
     from ..operators.images import decode_verify
 
     verify_agg = decode_verify(
@@ -252,46 +262,49 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         F.count("*").alias("n_gated"),
         F.sum(F.col("robots_allowed").cast("long")).alias("n_allowed"),
     )
-    fr = (
+    metrics_df = (
         fetched.agg(
             F.count("*").alias("n"),
             F.sum((F.col("http_status") != 200).cast("long")).alias("n_err"),
         )
         .crossJoin(verify_agg)
         .crossJoin(gate_agg)
-        .first()
     )
-    n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
-    n_images = int(fr["n_img"] or 0)
-    n_verify_failed = int(fr["n_bad"] or 0)
-    n_blocked = int(fr["n_gated"] - (fr["n_allowed"] or 0))
-    mark("fetch")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        metrics_fut = pool.submit(metrics_df.first)
 
-    trace = global_fetch_order(
-        partitions=par,
-        selected=fetched.select(
+        trace = global_fetch_order(
+            partitions=par,
+            selected=fetched.select(
+                "url_canon",
+                "host",
+                "depth",
+                "relevance_q",
+                "discovery_time",
+                "discovery_seq",
+                "http_status",
+                "image_id",
+            )
+        ).select(
+            "trace_seq",
+            F.lit(round_n).alias("round"),
             "url_canon",
             "host",
             "depth",
             "relevance_q",
-            "discovery_time",
             "discovery_seq",
-            "http_status",
+            F.col("http_status").alias("status"),
             "image_id",
         )
-    ).select(
-        "trace_seq",
-        F.lit(round_n).alias("round"),
-        "url_canon",
-        "host",
-        "depth",
-        "relevance_q",
-        "discovery_seq",
-        F.col("http_status").alias("status"),
-        "image_id",
-    )
-    icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
-    mark("trace")
+        icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
+        mark("trace")
+
+        fr = metrics_fut.result()
+    n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
+    n_images = int(fr["n_img"] or 0)
+    n_verify_failed = int(fr["n_bad"] or 0)
+    n_blocked = int(fr["n_gated"] - (fr["n_allowed"] or 0))
+    mark("fetch_verify")
 
     # 6. corpus append (authoritative schema, BASELINE.json:15) —
     # zero-copy: the fetch output files ARE the corpus data; the
