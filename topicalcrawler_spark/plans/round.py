@@ -270,8 +270,15 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         .crossJoin(verify_agg)
         .crossJoin(gate_agg)
     )
+    # TC_OVERLAP_VERIFY=0 forces the serial order (A/B + diagnosis
+    # escape hatch); default: overlap.
+    overlap = os.environ.get("TC_OVERLAP_VERIFY", "1") != "0"
     with ThreadPoolExecutor(max_workers=1) as pool:
-        metrics_fut = pool.submit(metrics_df.first)
+        if overlap:
+            metrics_fut = pool.submit(metrics_df.first)
+        else:
+            fr = metrics_df.first()
+            mark("fetch_verify")
 
         trace = global_fetch_order(
             partitions=par,
@@ -299,12 +306,13 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
         mark("trace")
 
-        fr = metrics_fut.result()
+        if overlap:
+            fr = metrics_fut.result()
+            mark("fetch_verify")
     n_fetched, n_errors = int(fr["n"]), int(fr["n_err"] or 0)
     n_images = int(fr["n_img"] or 0)
     n_verify_failed = int(fr["n_bad"] or 0)
     n_blocked = int(fr["n_gated"] - (fr["n_allowed"] or 0))
-    mark("fetch_verify")
 
     # 6. corpus append (authoritative schema, BASELINE.json:15) —
     # zero-copy: the fetch output files ARE the corpus data; the
