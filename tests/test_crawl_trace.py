@@ -53,6 +53,17 @@ def test_trace_and_seen_match_oracle(spark, tmp_path, rounds):
     assert sseen == oseen
 
 
+def test_serial_verify_order_is_trace_identical(spark, tmp_path, monkeypatch):
+    """TC_OVERLAP_VERIFY=0 forces the metrics/verify action back to the
+    serial order (no second driver thread).  The overlap is pure
+    scheduling — both orders must produce byte-identical trace + seen."""
+    monkeypatch.setenv("TC_OVERLAP_VERIFY", "0")
+    strace, sseen, _ = _spark_crawl(spark, tmp_path, 2)
+    otrace, oseen = _oracle_crawl(2)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_five_rounds_with_bloom_prefilter(spark, tmp_path):
     """M2/M4 gate: 5 rounds, bloom prefilter ON — results must be
     IDENTICAL to the oracle (bloom is an optimization, never authority)."""
