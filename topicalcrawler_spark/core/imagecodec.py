@@ -253,8 +253,13 @@ def phash64(pixels: np.ndarray) -> int:
     d = _dct_matrix()
     dct = d @ small @ d.T
     block = dct[:8, :8].copy().ravel()
-    block[0] = np.median(block[1:])  # neutralize DC before the median compare
-    med = np.median(block)
+    # medians via np.partition — exact np.median equivalents (odd 63:
+    # middle element; even 64: mean of the two middles) without the
+    # ~6x _ureduce wrapper overhead; phash values are fixture-load-
+    # bearing, so only bit-identical rewrites are allowed here
+    block[0] = np.partition(block[1:], 31)[31]  # neutralize DC
+    p = np.partition(block, (31, 32))
+    med = (p[31] + p[32]) / 2.0
     bits = (block > med).astype(np.uint8)
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
