@@ -250,3 +250,52 @@ def test_shard_ids_rejects_non_power_of_two():
         shard_ids(np.array([1], dtype=np.int64), 12)
     # n_shards=1: everything is shard 0, no undefined 64-bit shift
     assert shard_ids(np.array([1, -5], dtype=np.int64), 1).tolist() == [0, 0]
+
+
+def test_anti_join_seen_files_equals_shuffle_join(spark, tmp_path):
+    """The file-probed exact anti-join (design-point path) must equal
+    the shuffle left-anti join exactly — including url_hash-collision
+    safety (two distinct canons sharing a hash must not merge)."""
+    from pyspark.sql import functions as F
+
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.operators.dedup import (
+        anti_join_seen,
+        anti_join_seen_files,
+        overlapping_files,
+    )
+
+    # pruning predicate alone
+    idx = [("a", 0, 10), ("b", 11, 20), ("c", 21, 30)]
+    assert overlapping_files(idx, 12, 19) == ["b"]
+    assert overlapping_files(idx, 10, 11) == ["a", "b"]
+    assert overlapping_files(idx, 31, 99) == []
+
+    seen_rows = [(i * 7, f"http://h.test/p/{i}") for i in range(500)]
+    # a colliding hash with a DIFFERENT canon — must stay unseen
+    seen_rows.append((3 * 7, "http://h.test/p/other"))
+    seen = spark.createDataFrame(
+        seen_rows, "url_hash long, url_canon string"
+    ).repartitionByRange(4, "url_hash")
+    t = str(tmp_path / "seen")
+    icelite.commit(seen, t, round_n=0)
+    index = icelite.file_hash_index(t)
+    assert index is not None
+
+    links = spark.createDataFrame(
+        [(i * 7, f"http://h.test/p/{i}", i) for i in range(0, 1000, 3)]
+        + [(3 * 7, "http://h.test/p/collide", -1)],
+        "url_hash long, url_canon string, payload int",
+    )
+    seen_df = icelite.read_snapshot(spark, t)
+    expected = {
+        tuple(r) for r in anti_join_seen(links, seen_df).collect()
+    }
+    got = {
+        tuple(r)
+        for r in anti_join_seen_files(
+            links.repartitionByRange(4, "url_hash"), index
+        ).collect()
+    }
+    assert got == expected
+    assert any(r[1] == "http://h.test/p/collide" for r in got)

@@ -53,6 +53,22 @@ def test_trace_and_seen_match_oracle(spark, tmp_path, rounds):
     assert sseen == oseen
 
 
+@pytest.mark.parametrize("bloom", [True, False])
+def test_file_probed_exact_join_is_trace_identical(spark, tmp_path, bloom):
+    """The third crossover (CrawlConfig.seen_join_file_min_keys): the
+    exact anti-join probed from the seen table's own files via manifest
+    url_hash stats — forced on from round 1, once with the bloom
+    prefilter (maybe-side path) and once without (full-links path).
+    Results must equal the oracle exactly."""
+    strace, sseen, _ = _spark_crawl(
+        spark, tmp_path, 3,
+        use_bloom=bloom, bloom_min_keys=0, seen_join_file_min_keys=0,
+    )
+    otrace, oseen = _oracle_crawl(3)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_serial_verify_order_is_trace_identical(spark, tmp_path, monkeypatch):
     """TC_OVERLAP_VERIFY=0 forces the metrics/verify action back to the
     serial order (no second driver thread).  The overlap is pure

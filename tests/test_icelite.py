@@ -64,3 +64,44 @@ def test_expire_snapshots_replace_and_append(spark, tmp_path):
     assert out["deleted_files"] == 0
     assert all(os.path.exists(f) for f in before)
     assert icelite.read_snapshot(spark, t_app).count() == 40
+
+
+def test_manifest_file_stats_and_hash_index(spark, tmp_path):
+    """Commit records per-file url_hash [min,max] (the Iceberg
+    manifest-stats analogue); file_hash_index surfaces a complete
+    pruning index, survives appends and compaction, and is None for
+    tables without the column."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "seen")
+    df = (
+        spark.range(1000)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.concat(F.lit("http://h.test/p/"), F.col("id")).alias("url_canon"),
+        )
+        .repartitionByRange(4, "url_hash")
+    )
+    icelite.commit(df, t, round_n=0)
+    idx = icelite.file_hash_index(t)
+    assert idx is not None and len(idx) >= 2
+    rows = {(r["url_hash"], r["url_canon"]) for r in icelite.read_snapshot(spark, t).collect()}
+    # every row's hash falls inside its file's recorded range, and the
+    # index covers the full hash span
+    lo = min(f[1] for f in idx)
+    hi = max(f[2] for f in idx)
+    assert all(lo <= h <= hi for h, _ in rows)
+
+    df2 = df.withColumn("url_canon", F.concat(F.col("url_canon"), F.lit("x")))
+    icelite.commit(df2, t, round_n=1, mode="append")
+    idx2 = icelite.file_hash_index(t)
+    assert idx2 is not None and len(idx2) > len(idx)
+
+    icelite.compact(spark, t, round_n=2, range_cols=["url_hash"], target_files=2)
+    idx3 = icelite.file_hash_index(t)
+    assert idx3 is not None and len(idx3) <= 4
+
+    # a table without url_hash has no index
+    t2 = str(tmp_path / "plain")
+    icelite.commit(spark.range(5), t2, round_n=0)
+    assert icelite.file_hash_index(t2) is None

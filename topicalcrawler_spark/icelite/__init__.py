@@ -65,6 +65,26 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def _url_hash_stats(md) -> list[int] | None:
+    """[min, max] of the url_hash column across a file's row groups,
+    from footer statistics only — None when the column is absent or any
+    row group lacks stats."""
+    try:
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "url_hash"
+        )
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or st.min is None or st.max is None:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else [int(lo), int(hi)]
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -92,12 +112,24 @@ def commit(
     ).parquet(data_dir)
 
     files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
-    # row counts from parquet footers — no second Spark job needed
-    row_count = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # row counts + per-file url_hash min/max from parquet footers — no
+    # second Spark job needed.  The stats are the Iceberg manifest
+    # column-stats analogue: they let readers prune files by url_hash
+    # range WITHOUT opening footers at read time (the file-probed exact
+    # anti-join depends on this — operators/dedup.anti_join_seen_files).
+    row_count = 0
+    file_stats: dict[str, list[int]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        row_count += md.num_rows
+        st = _url_hash_stats(md)
+        if st is not None:
+            file_stats[f] = st
     if mode == "append" and parent is not None:
         pm = read_manifest(table_dir, parent)
         files = pm["files"] + files
         row_count += pm["row_count"]
+        file_stats = {**pm.get("file_stats", {}), **file_stats}
 
     manifest = {
         "snapshot_id": snap_id,
@@ -106,6 +138,7 @@ def commit(
         "row_count": row_count,
         "round": round_n,
         "meta": meta or {},
+        "file_stats": file_stats,
     }
     os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
     mpath = _manifest_path(table_dir, snap_id)
@@ -171,6 +204,25 @@ def commit_files(
         json.dump({"snapshot_id": snap_id}, f)
     os.replace(ltmp, _latest_path(table_dir))
     return snap_id
+
+
+def file_hash_index(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[tuple[str, int, int]] | None:
+    """[(path, min_url_hash, max_url_hash)] for every data file of a
+    snapshot, from the manifest's commit-time footer stats — the
+    pruning index of the file-probed exact anti-join.  None when any
+    file lacks stats (e.g. a pre-stats manifest), so callers can fall
+    back to the shuffle join."""
+    if snapshot_id is None:
+        snapshot_id = latest_snapshot_id(table_dir)
+        if snapshot_id is None:
+            return None
+    m = read_manifest(table_dir, snapshot_id)
+    stats = m.get("file_stats", {})
+    if any(f not in stats for f in m["files"]):
+        return None
+    return [(f, stats[f][0], stats[f][1]) for f in m["files"]]
 
 
 def next_data_dir(table_dir: str) -> str:

@@ -46,6 +46,7 @@ from ..functions import (
 )
 from ..operators.dedup import (
     anti_join_seen,
+    anti_join_seen_files,
     bloom_prefilter,
     bloom_prefilter_files,
     build_bloom_shards,
@@ -92,6 +93,16 @@ class CrawlConfig:
     # path always engages.  Results identical either way (trace test
     # pins it by forcing bloom_file_min_keys=0).
     bloom_file_min_keys: int = 50_000_000
+    # third crossover: past this seen-set size the EXACT anti-join's
+    # sort-merge shuffle of the full seen table (the single largest
+    # per-round data movement at 10^10 keys — left-anti cannot
+    # broadcast its right side) is replaced by the file-probed join
+    # (operators.dedup.anti_join_seen_files): links are range-
+    # partitioned by url_hash and each task reads ONLY the seen files
+    # overlapping its range, via the manifest's commit-time per-file
+    # url_hash stats.  Results identical (trace test pins it by forcing
+    # seen_join_file_min_keys=0).
+    seen_join_file_min_keys: int = 50_000_000
     # compact+expire the seen table every K rounds (0 = off).  Physical
     # maintenance only — never changes results (trace-test-pinned).
     compact_seen_every: int = 0
@@ -384,6 +395,22 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     seen_snap_id = icelite.latest_snapshot_id(cfg.table("seen"))
     n_seen = icelite.read_manifest(cfg.table("seen"), seen_snap_id)["row_count"]
     seen = icelite.read_snapshot(spark, cfg.table("seen"), seen_snap_id)
+    # exact-join crossover (CrawlConfig.seen_join_file_min_keys): probe
+    # the seen table's own range-clustered files in place instead of
+    # shuffling them through a sort-merge join
+    seen_index = (
+        icelite.file_hash_index(cfg.table("seen"), seen_snap_id)
+        if n_seen >= cfg.seen_join_file_min_keys
+        else None
+    )
+
+    def exact_unseen(cand: DataFrame) -> DataFrame:
+        if seen_index is not None:
+            return anti_join_seen_files(
+                cand.repartitionByRange(cfg.n_shards, "url_hash"), seen_index
+            )
+        return anti_join_seen(cand, seen)
+
     mark("links")
     # bloom crossover (see CrawlConfig.bloom_min_keys): the prefilter
     # pays only when the seen table is big enough that skipping the
@@ -411,11 +438,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         # through the exact anti-join (the authority)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        new_links = fresh.unionByName(anti_join_seen(maybe, seen))
+        new_links = fresh.unionByName(exact_unseen(maybe))
         cand_df = probed
     else:
         links = links.cache()
-        new_links = anti_join_seen(links, seen)
+        new_links = exact_unseen(links)
         cand_df = links
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
 
