@@ -69,6 +69,21 @@ def test_file_probed_exact_join_is_trace_identical(spark, tmp_path, bloom):
     assert sseen == oseen
 
 
+def test_lsm_frontier_mode_is_trace_identical(spark, tmp_path):
+    """frontier_mode='append' (LSM-style O(delta) frontier commits +
+    tombstone keys + read-time file-probed pending view) must equal the
+    oracle exactly — including across a mid-crawl frontier compaction
+    (compact_frontier_every=2 inside a 5-round crawl)."""
+    strace, sseen, _ = _spark_crawl(
+        spark, tmp_path, 5,
+        frontier_mode="append", compact_frontier_every=2,
+        use_bloom=True, bloom_min_keys=0,
+    )
+    otrace, oseen = _oracle_crawl(5)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_serial_verify_order_is_trace_identical(spark, tmp_path, monkeypatch):
     """TC_OVERLAP_VERIFY=0 forces the metrics/verify action back to the
     serial order (no second driver thread).  The overlap is pure

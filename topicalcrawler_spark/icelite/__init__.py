@@ -119,12 +119,22 @@ def commit(
     # anti-join depends on this — operators/dedup.anti_join_seen_files).
     row_count = 0
     file_stats: dict[str, list[int]] = {}
+    nonempty = []
     for f in files:
         md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            # 0-row files (e.g. an emptied tombstone table, or empty
+            # partitions of a skewed write) contribute nothing to any
+            # read and have no footer stats — listing them would only
+            # poison the stats-completeness check of file_hash_index.
+            # They stay on disk for the empty-snapshot schema read.
+            continue
+        nonempty.append(f)
         row_count += md.num_rows
         st = _url_hash_stats(md)
         if st is not None:
             file_stats[f] = st
+    files = nonempty
     if mode == "append" and parent is not None:
         pm = read_manifest(table_dir, parent)
         files = pm["files"] + files

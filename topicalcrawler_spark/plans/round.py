@@ -106,6 +106,20 @@ class CrawlConfig:
     # compact+expire the seen table every K rounds (0 = off).  Physical
     # maintenance only — never changes results (trace-test-pinned).
     compact_seen_every: int = 0
+    # frontier maintenance mode.  "replace" (default): each round
+    # commits the full residual ∪ new-links frontier — simple, but an
+    # O(frontier) rewrite per round, which at the 10^10-row design
+    # point dwarfs the actual per-round delta (new links + budget).
+    # "append" (LSM-style): the frontier table is append-only (new
+    # links per round) plus a fetched/blocked tombstone-keys table;
+    # the pending set is resolved at read time by the same zero-shuffle
+    # file-probed anti-join the seen set uses, and every
+    # ``compact_frontier_every`` rounds the materialized pending set
+    # replace-commits both tables — so per-round write cost is
+    # O(delta), amortized O(frontier / K) for maintenance.  Results
+    # identical (trace test pins it, including through a compaction).
+    frontier_mode: str = "replace"
+    compact_frontier_every: int = 8
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
     # per-crawl memo of the static dim DataFrames (robots/budgets do
@@ -188,12 +202,40 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         phases[name] = round(now - _t[0], 2)
         _t[0] = now
     frontier_snap_id = icelite.latest_snapshot_id(cfg.table("frontier"))
-    n_pending = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
+    n_frontier_rows = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
         "row_count"
     ]
+    fetched_tbl = cfg.table("fetched")
+    tomb_snap_id = (
+        icelite.latest_snapshot_id(fetched_tbl)
+        if cfg.frontier_mode == "append"
+        else None
+    )
+    n_tomb = (
+        icelite.read_manifest(fetched_tbl, tomb_snap_id)["row_count"]
+        if tomb_snap_id
+        else 0
+    )
+    # exact: every tombstone key is a distinct frontier-append row
+    # (frontier entries are globally unique — they were anti-joined
+    # against the seen set before appending)
+    n_pending = n_frontier_rows - n_tomb
     if n_pending == 0:
         return {"round": round_n, "n_pending": 0, "n_fetched": 0}
     frontier = icelite.read_snapshot(spark, cfg.table("frontier"), frontier_snap_id)
+    if tomb_snap_id and n_tomb > 0:
+        # LSM read path: pending = append-files MINUS tombstones, via
+        # the zero-shuffle file-probed anti-join (both tables are
+        # url_hash-range-clustered; manifest stats prune file reads)
+        tomb_index = icelite.file_hash_index(fetched_tbl, tomb_snap_id)
+        if tomb_index is not None:
+            frontier = anti_join_seen_files(frontier, tomb_index)
+        else:  # stats missing (foreign table) — broadcast-anti fallback
+            frontier = frontier.join(
+                icelite.read_snapshot(spark, fetched_tbl, tomb_snap_id),
+                ["url_hash", "url_canon"],
+                "left_anti",
+            )
 
     # 2. robots gate (J2/J7/P5 — all JVM-side); the robots dim
     # (as-of-resolved) is memoized across rounds.  The gate METRICS are
@@ -473,15 +515,68 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         )
         icelite.expire_snapshots(cfg.table("seen"), keep_last=2)
     mark("seen")
-    residual = allowed.join(
-        selected.select("url_canon"), "url_canon", "left_anti"
-    ).select(*[f.name for f in FRONTIER.fields])
-    new_frontier = residual.unionByName(new_links).repartitionByRange(
-        cfg.n_shards, "url_hash"
-    )
-    frontier_snap = icelite.commit(
-        new_frontier, cfg.table("frontier"), round_n, mode="replace"
-    )
+    if cfg.frontier_mode == "append":
+        # LSM write path: O(delta) commits — tombstones for the rows
+        # this round consumed (fetched + robots-blocked, matching the
+        # replace-mode residual which keeps only allowed-minus-selected)
+        # and an append of the new links.  No O(frontier) rewrite.
+        tombs = (
+            gated.filter(~F.col("robots_allowed"))
+            .select("url_canon", "url_hash")
+            .unionByName(selected.select("url_canon", "url_hash"))
+            .repartitionByRange(cfg.n_shards, "url_hash")
+        )
+        icelite.commit(tombs, fetched_tbl, round_n, mode="append")
+        frontier_snap = icelite.commit(
+            new_links.select(*[f.name for f in FRONTIER.fields]),
+            cfg.table("frontier"),
+            round_n,
+            mode="append",
+        )
+        if (
+            cfg.compact_frontier_every
+            and round_n % cfg.compact_frontier_every == 0
+        ):
+            # materialize the pending view and restart both chains —
+            # amortized O(frontier / K); result-invariant (trace test)
+            pend = icelite.read_snapshot(spark, cfg.table("frontier"))
+            t_idx = icelite.file_hash_index(fetched_tbl)
+            if t_idx:
+                pend = anti_join_seen_files(pend, t_idx)
+            else:  # stats unavailable — broadcast-anti fallback, never
+                # skip tombstone removal (a skipped removal resurrects
+                # already-fetched rows into the compacted frontier)
+                pend = pend.join(
+                    icelite.read_snapshot(spark, fetched_tbl),
+                    ["url_hash", "url_canon"],
+                    "left_anti",
+                )
+            frontier_snap = icelite.commit(
+                pend.repartitionByRange(cfg.n_shards, "url_hash"),
+                cfg.table("frontier"),
+                round_n,
+                mode="replace",
+            )
+            icelite.commit(
+                spark.createDataFrame(
+                    [], "url_canon string, url_hash long"
+                ).repartition(1),
+                fetched_tbl,
+                round_n,
+                mode="replace",
+            )
+            icelite.expire_snapshots(cfg.table("frontier"), keep_last=2)
+            icelite.expire_snapshots(fetched_tbl, keep_last=2)
+    else:
+        residual = allowed.join(
+            selected.select("url_canon"), "url_canon", "left_anti"
+        ).select(*[f.name for f in FRONTIER.fields])
+        new_frontier = residual.unionByName(new_links).repartitionByRange(
+            cfg.n_shards, "url_hash"
+        )
+        frontier_snap = icelite.commit(
+            new_frontier, cfg.table("frontier"), round_n, mode="replace"
+        )
     mark("frontier")
 
     # lineage: per-partition fetch metrics + a round-total row (S7)
