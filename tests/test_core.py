@@ -299,3 +299,46 @@ def test_anti_join_seen_files_equals_shuffle_join(spark, tmp_path):
     }
     assert got == expected
     assert any(r[1] == "http://h.test/p/collide" for r in got)
+
+
+def test_incremental_bloom_equals_full_build(spark):
+    """OR-monotonicity: build(all) == update(build(part1), part2) at
+    equal (n_bits, k) — bit-for-bit, for both distribution forms."""
+    import numpy as np
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from topicalcrawler_spark.operators.dedup import (
+        build_bloom_shards,
+        update_bloom_shards,
+        update_bloom_shard_files,
+        write_bloom_shard_files,
+    )
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+        )
+
+    n_all = 5000
+    full, k = build_bloom_shards(keys(0, n_all), 8, total=n_all)
+    part, k1 = build_bloom_shards(keys(0, 3000), 8, total=n_all)
+    assert k1 == k
+    n_bits = len(part[0]) * 8
+    upd = update_bloom_shards(keys(3000, n_all), part, 8, n_bits, k)
+    assert [bytes(b) for b in upd] == [bytes(b) for b in full]
+
+    # file-distributed form
+    with tempfile.TemporaryDirectory() as td:
+        d_full, d_part, d_upd = f"{td}/full", f"{td}/part", f"{td}/upd"
+        kf, nb = write_bloom_shard_files(keys(0, n_all), d_full, 8, total=n_all)
+        kp, nbp = write_bloom_shard_files(keys(0, 3000), d_part, 8, total=n_all)
+        assert (kf, nb) == (kp, nbp)
+        update_bloom_shard_files(keys(3000, n_all), d_part, d_upd, 8, nb, kf)
+
+        def load(d):
+            rows = spark.read.parquet(d).collect()
+            return {r["shard_id"]: bytes(r["bits"]) for r in rows}
+
+        assert load(d_upd) == load(d_full)

@@ -84,6 +84,44 @@ def test_lsm_frontier_mode_is_trace_identical(spark, tmp_path):
     assert sseen == oseen
 
 
+@pytest.mark.parametrize("file_mode", [False, True])
+def test_incremental_bloom_maintenance_is_trace_identical(
+    spark, tmp_path, file_mode
+):
+    """Rounds 2+ maintain the bloom shards incrementally (manifest
+    file-diff delta OR-ed into the round-1 bitmaps) when capacity
+    allows — forced here by bumping the state's capacity after round 1,
+    the mature-crawl shape where delta << seen.  Both distribution
+    forms; results must equal the oracle exactly."""
+    from topicalcrawler_spark.plans.round import (
+        CrawlConfig, crawl_round, init_crawl, read_seen, read_trace,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    kw = dict(use_bloom=True, bloom_min_keys=0)
+    if file_mode:
+        kw["bloom_file_min_keys"] = 0
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+    assert "bloom" in cfg._dims
+    cfg._dims["bloom"]["capacity"] = 10**12  # force the incremental leg
+    for r in (2, 3):
+        crawl_round(spark, cfg, r)
+        # the state must have been maintained, not rebuilt: capacity
+        # is only reset by a full rebuild
+        assert cfg._dims["bloom"]["capacity"] == 10**12
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace, oseen = _oracle_crawl(3)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_serial_verify_order_is_trace_identical(spark, tmp_path, monkeypatch):
     """TC_OVERLAP_VERIFY=0 forces the metrics/verify action back to the
     serial order (no second driver thread).  The overlap is pure

@@ -232,17 +232,29 @@ def bloom_prefilter_files(
 
 
 def _merged_shard_bitmaps(
-    seen: DataFrame, n_shards: int, fpp: float, total: int | None
+    seen: DataFrame,
+    n_shards: int,
+    fpp: float,
+    total: int | None,
+    params: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, int, int]:
     """The shared scale-safe BUILD: streamed per-partition partial
     bitmaps OR-merged per shard.  Returns (merged_df(shard_id, bits),
     n_bits, k) — the two distribution paths below differ only in where
-    the merged bitmaps go (driver broadcast vs partition-local files)."""
+    the merged bitmaps go (driver broadcast vs partition-local files).
+
+    ``params``: fixed (n_bits, k) — the incremental-maintenance path
+    passes the params of the bitmaps it is OR-ing into (delta partials
+    must match them bit-for-bit); by default params are sized from
+    ``total`` with 1.5× headroom."""
     assert n_shards > 0 and n_shards & (n_shards - 1) == 0, "power of two"
-    if total is None:
-        total = seen.count()
-    per_shard = max(total // n_shards, 1)
-    n_bits, k = bloom.params_for(int(per_shard * 1.5), fpp)
+    if params is not None:
+        n_bits, k = params
+    else:
+        if total is None:
+            total = seen.count()
+        per_shard = max(total // n_shards, 1)
+        n_bits, k = bloom.params_for(int(per_shard * 1.5), fpp)
 
     def partials(batches):
         acc: dict[int, np.ndarray] = {}
@@ -288,18 +300,88 @@ def write_bloom_shard_files(
     n_shards: int,
     fpp: float = 0.01,
     total: int | None = None,
-) -> int:
+) -> tuple[int, int]:
     """A5, distributed form (SURVEY §4.2) — the merged shard bitmaps
     are written straight from their merge tasks as parquet files
     partitioned by shard_id (``out_dir/shard_id=N/``), so NO bitmap
     ever transits the driver; ``bloom_prefilter_files`` probes them in
-    place.  Returns k.  Dictionary encoding off: bitmaps are fat unique
-    binaries (same pathology as the corpus bytes column)."""
-    merged, _n_bits, k = _merged_shard_bitmaps(seen, n_shards, fpp, total)
+    place.  Returns (k, n_bits) — the params incremental maintenance
+    (``update_bloom_shard_files``) must reuse.  Dictionary encoding
+    off: bitmaps are fat unique binaries (same pathology as the corpus
+    bytes column)."""
+    merged, n_bits, k = _merged_shard_bitmaps(seen, n_shards, fpp, total)
     merged.write.mode("overwrite").option(
         "parquet.enable.dictionary", "false"
     ).partitionBy("shard_id").parquet(out_dir)
-    return k
+    return k, n_bits
+
+
+def update_bloom_shards(
+    seen_delta: DataFrame,
+    prior: list[bytes],
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> list[bytes]:
+    """A5, incremental broadcast form: OR the DELTA keys into existing
+    shard bitmaps at the bitmaps' own (n_bits, k).
+
+    Bloom bitmaps are OR-monotone and the seen table is append-only,
+    so build(all keys) == build(old keys) | build(new keys) at equal
+    params — the per-round build cost drops from O(seen) to O(delta).
+    Callers own the capacity rule (rebuild via ``build_bloom_shards``
+    when the key count outgrows the sizing; fpp degradation can only
+    ever cost performance, never correctness — the exact join is the
+    authority)."""
+    merged, _, _ = _merged_shard_bitmaps(
+        seen_delta, n_shards, fpp=0.0, total=None, params=(n_bits, k)
+    )
+    out = [np.frombuffer(b, dtype=np.uint8).copy() for b in prior]
+    for r in merged.collect():
+        np.bitwise_or(
+            out[r["shard_id"]],
+            np.frombuffer(r["bits"], dtype=np.uint8),
+            out=out[r["shard_id"]],
+        )
+    return [b.tobytes() for b in out]
+
+
+def update_bloom_shard_files(
+    seen_delta: DataFrame,
+    prev_dir: str,
+    out_dir: str,
+    n_shards: int,
+    n_bits: int,
+    k: int,
+) -> None:
+    """A5, incremental distributed form: union the previous shard
+    bitmap files with the delta's partial bitmaps and re-merge per
+    shard — all executor-side (the same OR-monotonicity argument as
+    ``update_bloom_shards``, with nothing transiting the driver)."""
+    spark = seen_delta.sparkSession
+    delta_partials, _, _ = _merged_shard_bitmaps(
+        seen_delta, n_shards, fpp=0.0, total=None, params=(n_bits, k)
+    )
+    prev = spark.read.parquet(prev_dir).select("shard_id", "bits")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "bits": [bloom.merge(arrs).tobytes()],
+            }
+        )
+
+    (
+        prev.unionByName(delta_partials)
+        .groupBy("shard_id")
+        .applyInPandas(merge_group, schema="shard_id int, bits binary")
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
 
 
 def build_bloom_shards(

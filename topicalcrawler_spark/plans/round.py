@@ -51,6 +51,8 @@ from ..operators.dedup import (
     bloom_prefilter_files,
     build_bloom_shards,
     dedup_batch,
+    update_bloom_shard_files,
+    update_bloom_shards,
     write_bloom_shard_files,
 )
 from ..operators.fetch import fetch_selected
@@ -458,21 +460,80 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # pays only when the seen table is big enough that skipping the
     # exact join for definitely-fresh rows beats the two bloom jobs
     if cfg.use_bloom and n_seen >= cfg.bloom_min_keys:
-        if n_seen >= cfg.bloom_file_min_keys:
-            # distributed bitmaps: shard files written executor-side,
-            # probed in place — nothing transits the driver
-            shard_dir = os.path.join(
-                cfg.table("bloom"), f"round-{round_n:06d}"
-            )
-            k = write_bloom_shard_files(
-                seen, shard_dir, cfg.n_shards, cfg.bloom_fpp, total=n_seen
-            )
+        # Incremental maintenance: bloom bitmaps are OR-monotone and
+        # the seen table is append-only, so the manifest file-diff
+        # since the last build is an EXACT delta — OR only the new
+        # files' keys into the existing bitmaps instead of rescanning
+        # all of seen (the last remaining O(seen) scan per round).
+        # Full rebuild when the key count outgrows the 1.5× sizing
+        # headroom (fpp would degrade past design — a perf matter
+        # only, the exact join stays the authority), when the file
+        # set is not a superset of the build's (compaction), or when
+        # the distribution mode crosses over.
+        bst = cfg._dims.get("bloom")
+        cur_files = frozenset(
+            icelite.read_manifest(cfg.table("seen"), seen_snap_id)["files"]
+        )
+        want_mode = "file" if n_seen >= cfg.bloom_file_min_keys else "bcast"
+        fresh_ok = (
+            bst is not None
+            and bst["mode"] == want_mode
+            and n_seen <= bst["capacity"]
+            and bst["files"] <= cur_files
+        )
+        delta_files = sorted(cur_files - bst["files"]) if fresh_ok else []
+        if want_mode == "file":
+            if fresh_ok:
+                k = bst["k"]
+                if delta_files:
+                    shard_dir = os.path.join(
+                        cfg.table("bloom"), f"round-{round_n:06d}"
+                    )
+                    update_bloom_shard_files(
+                        spark.read.parquet(*delta_files).select("url_hash"),
+                        bst["dir"], shard_dir, cfg.n_shards,
+                        bst["n_bits"], k,
+                    )
+                    shutil.rmtree(bst["dir"], ignore_errors=True)
+                    bst["dir"] = shard_dir
+                else:
+                    shard_dir = bst["dir"]
+            else:
+                shard_dir = os.path.join(
+                    cfg.table("bloom"), f"round-{round_n:06d}"
+                )
+                k, n_bits = write_bloom_shard_files(
+                    seen, shard_dir, cfg.n_shards, cfg.bloom_fpp,
+                    total=n_seen,
+                )
+                if bst and bst.get("dir") not in (None, shard_dir):
+                    shutil.rmtree(bst["dir"], ignore_errors=True)
+                bst = {
+                    "mode": "file", "dir": shard_dir, "k": k,
+                    "n_bits": n_bits, "capacity": int(n_seen * 1.5),
+                }
             probe = bloom_prefilter_files(links, shard_dir, cfg.n_shards, k)
         else:
-            shard_bits, k = build_bloom_shards(
-                seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
-            )
+            if fresh_ok:
+                k = bst["k"]
+                if delta_files:
+                    bst["bits"] = update_bloom_shards(
+                        spark.read.parquet(*delta_files).select("url_hash"),
+                        bst["bits"], cfg.n_shards, bst["n_bits"], k,
+                    )
+                shard_bits = bst["bits"]
+            else:
+                shard_bits, k = build_bloom_shards(
+                    seen, cfg.n_shards, cfg.bloom_fpp, total=n_seen
+                )
+                bst = {
+                    "mode": "bcast", "bits": shard_bits, "k": k,
+                    "n_bits": len(shard_bits[0]) * 8,
+                    "capacity": int(n_seen * 1.5),
+                }
             probe = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
+        bst["files"] = cur_files
+        cfg._dims["bloom"] = bst
         # cache the probe output: both branches below read it, so the
         # Arrow probe pass runs once, not once per branch
         probed = probe.cache()
