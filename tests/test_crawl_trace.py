@@ -191,20 +191,28 @@ def test_crawl_exhausts_frontier_and_stays_oracle_equal(spark, tmp_path):
     assert n_left == 0
 
 
-def test_resume_equivalence(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["replace", "append"])
+def test_resume_equivalence(spark, tmp_path, mode):
     """§3.3: crawl(k) ≡ crawl(j); resume(k−j) — byte-identical trace
-    and seen-set (randomized split points are covered by the two
-    parametrizations; the state lives entirely in icelite snapshots)."""
+    and seen-set.  The resume leg uses a FRESH CrawlConfig (cold
+    restart, as a new spark-submit would have): all durable state must
+    live in icelite snapshots, none in the in-memory dim/bloom memos.
+    Parametrized over both frontier maintenance modes — the LSM mode's
+    tombstone table must survive a cold restart too."""
     from topicalcrawler_spark.plans.round import resume
 
+    kw = {"frontier_mode": mode, "use_bloom": True, "bloom_min_keys": 0}
     (tmp_path / "full").mkdir()
-    full_trace, full_seen, _ = _spark_crawl(spark, tmp_path / "full", rounds=3)
+    full_trace, full_seen, _ = _spark_crawl(
+        spark, tmp_path / "full", rounds=3, **kw
+    )
 
     seeds_path = str(tmp_path / "split" / "seeds.txt")
     (tmp_path / "split").mkdir()
     fx.write_seed_file(seeds_path)
-    cfg = CrawlConfig(root=str(tmp_path / "split" / "crawl"))
-    run_crawl(spark, cfg, seeds_path, rounds=1)
+    root = str(tmp_path / "split" / "crawl")
+    run_crawl(spark, CrawlConfig(root=root, **kw), seeds_path, rounds=1)
+    cfg = CrawlConfig(root=root, **kw)  # cold restart
     resume(spark, cfg, rounds=2)
     split_trace = [
         tuple(r[c] for c in TRACE_COLS)
