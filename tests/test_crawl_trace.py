@@ -4,6 +4,8 @@ set under the same seed list + politeness budgets."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tests import oracle_crawler
@@ -248,3 +250,67 @@ def test_seen_compaction_is_result_invariant(spark, tmp_path):
     # on top of it
     assert len(files) <= cfg.n_shards * 3
     assert all(os.path.exists(f) for f in files)
+
+
+@pytest.mark.parametrize(
+    "mode,crash_table",
+    [
+        ("append", "trace"),
+        ("append", "seen"),
+        ("append", "fetched"),
+        ("append", "frontier"),
+        ("replace", "seen"),
+    ],
+)
+def test_crash_mid_round_then_resume_matches_oracle(
+    spark, tmp_path, monkeypatch, mode, crash_table
+):
+    """A round is several table commits, not one atomic operation.
+    Crash immediately AFTER the named table's round-2 commit, then
+    cold-restart resume: the re-run must pin its reads to the round-1
+    snapshots and skip the commits that already landed, so the final
+    trace + seen equal the oracle exactly (no double-appended
+    tombstones/trace rows, no lost new links)."""
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import (
+        CrawlConfig, crawl_round, init_crawl, read_seen, read_trace, resume,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    kw = dict(frontier_mode=mode, use_bloom=True, bloom_min_keys=0)
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+
+    class Boom(Exception):
+        pass
+
+    real_commit = icelite.commit
+
+    def crashing(df, table_dir, round_n, *a, **kw2):
+        snap = real_commit(df, table_dir, round_n, *a, **kw2)
+        if table_dir.endswith(os.sep + crash_table) and round_n == 2:
+            raise Boom(table_dir)
+        return snap
+
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(Boom):
+        crawl_round(spark, cfg, 2)
+    monkeypatch.setattr(icelite, "commit", real_commit)
+
+    # cold restart: fresh config (no in-memory dim/bloom state)
+    cfg2 = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    last = icelite.read_manifest(
+        cfg2.table("frontier"), icelite.latest_snapshot_id(cfg2.table("frontier"))
+    )["round"]
+    resume(spark, cfg2, rounds=3 - last)
+
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg2).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg2).collect()}
+    otrace, oseen = _oracle_crawl(3)
+    assert strace == otrace
+    assert sseen == oseen

@@ -119,7 +119,7 @@ def commit(
     # anti-join depends on this — operators/dedup.anti_join_seen_files).
     row_count = 0
     file_stats: dict[str, list[int]] = {}
-    nonempty = []
+    nonempty, empty = [], []
     for f in files:
         md = pq.ParquetFile(f).metadata
         if md.num_rows == 0:
@@ -127,13 +127,21 @@ def commit(
             # partitions of a skewed write) contribute nothing to any
             # read and have no footer stats — listing them would only
             # poison the stats-completeness check of file_hash_index.
-            # They stay on disk for the empty-snapshot schema read.
+            empty.append(f)
             continue
         nonempty.append(f)
         row_count += md.num_rows
         st = _url_hash_stats(md)
         if st is not None:
             file_stats[f] = st
+    if nonempty:
+        # unlisted files are invisible to expire_snapshots (it deletes
+        # only manifest-referenced files), so delete them NOW or they
+        # leak forever.  When the whole commit is empty, one 0-row file
+        # is kept — read_snapshot's empty branch reads the data dir for
+        # the schema.
+        for f in empty:
+            os.unlink(f)
     files = nonempty
     if mode == "append" and parent is not None:
         pm = read_manifest(table_dir, parent)
@@ -301,11 +309,15 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
                 os.remove(f)
                 n_deleted += 1
         os.remove(_manifest_path(table_dir, i))
-    # sweep now-empty data dirs of dropped snapshots
+    # sweep data dirs of dropped snapshots whose parquet files are all
+    # unreferenced by kept manifests (this includes the one 0-row
+    # schema-bearing file an all-empty commit keeps — referenced by no
+    # manifest, so the dir goes once its snapshot is dropped)
     for i in drop:
         d = os.path.join(table_dir, "data", f"snap-{i:06d}")
         if os.path.isdir(d) and not any(
-            fn.endswith(".parquet") for fn in os.listdir(d)
+            fn.endswith(".parquet") and os.path.join(d, fn) in referenced
+            for fn in os.listdir(d)
         ):
             import shutil
 

@@ -278,20 +278,22 @@ def _merged_shard_bitmaps(
     partial_df = seen.select("url_hash").mapInPandas(
         partials, schema="shard_id int, bits binary"
     )
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
-        return pd.DataFrame(
-            {
-                "shard_id": [int(pdf["shard_id"].iloc[0])],
-                "bits": [bloom.merge(arrs).tobytes()],
-            }
-        )
-
     merged = partial_df.groupBy("shard_id").applyInPandas(
-        merge_group, schema="shard_id int, bits binary"
+        _merge_shard_group, schema="shard_id int, bits binary"
     )
     return merged, n_bits, k
+
+
+def _merge_shard_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard OR-merge kernel, shared by the full build and the
+    incremental file update."""
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
+    return pd.DataFrame(
+        {
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "bits": [bloom.merge(arrs).tobytes()],
+        }
+    )
 
 
 def write_bloom_shard_files(
@@ -354,34 +356,57 @@ def update_bloom_shard_files(
     n_bits: int,
     k: int,
 ) -> None:
-    """A5, incremental distributed form: union the previous shard
-    bitmap files with the delta's partial bitmaps and re-merge per
-    shard — all executor-side (the same OR-monotonicity argument as
-    ``update_bloom_shards``, with nothing transiting the driver)."""
+    """A5, incremental distributed form: re-merge ONLY the shards the
+    delta touches (previous bitmap files for those shards unioned with
+    the delta's partials, executor-side — the same OR-monotonicity
+    argument as ``update_bloom_shards``); untouched shards are carried
+    forward as hardlinks, an O(1)-metadata op per shard.  Per-round
+    I/O is therefore O(touched-shard bitmap bytes), not O(total
+    bitmap bytes) — at the multi-GB design-point bitmap set, a delta
+    landing in 2 of 4096 shards rewrites 2 bitmaps, not 4096."""
+    import glob as _glob
+    import os as _os
+
     spark = seen_delta.sparkSession
     delta_partials, _, _ = _merged_shard_bitmaps(
         seen_delta, n_shards, fpp=0.0, total=None, params=(n_bits, k)
     )
-    prev = spark.read.parquet(prev_dir).select("shard_id", "bits")
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bits"]]
-        return pd.DataFrame(
-            {
-                "shard_id": [int(pdf["shard_id"].iloc[0])],
-                "bits": [bloom.merge(arrs).tobytes()],
-            }
-        )
-
+    delta_partials = delta_partials.cache()
+    touched = sorted(
+        r["shard_id"] for r in delta_partials.select("shard_id").distinct().collect()
+    )
+    prev = (
+        spark.read.parquet(prev_dir)
+        .select("shard_id", "bits")
+        .filter(F.col("shard_id").isin([int(s) for s in touched]))
+    )
     (
         prev.unionByName(delta_partials)
         .groupBy("shard_id")
-        .applyInPandas(merge_group, schema="shard_id int, bits binary")
+        .applyInPandas(_merge_shard_group, schema="shard_id int, bits binary")
         .write.mode("overwrite")
         .option("parquet.enable.dictionary", "false")
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
+    delta_partials.unpersist()
+    # carry untouched shards forward by hardlink (fall back to copy on
+    # filesystems without link support)
+    import shutil as _shutil
+
+    touched_set = set(touched)
+    for d in _glob.glob(f"{prev_dir}/shard_id=*"):
+        sid = int(d.rsplit("=", 1)[1])
+        if sid in touched_set:
+            continue
+        dst = f"{out_dir}/shard_id={sid}"
+        _os.makedirs(dst, exist_ok=True)
+        for f in _glob.glob(f"{d}/*.parquet"):
+            target = _os.path.join(dst, _os.path.basename(f))
+            try:
+                _os.link(f, target)
+            except OSError:
+                _shutil.copy2(f, target)
 
 
 def build_bloom_shards(

@@ -187,6 +187,34 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
     frontier0.unpersist()
 
 
+def _round_committed(table_dir: str, round_n: int) -> bool:
+    """True when ``table_dir`` already holds round_n's commit — the
+    idempotency guard that makes a crash-interrupted round safely
+    re-runnable (a round is several table commits, not one atomic op;
+    re-running must skip the commits that landed before the crash,
+    or append tables double-append: duplicate trace rows, double
+    tombstones corrupting the n_pending arithmetic, lost new links)."""
+    snap = icelite.latest_snapshot_id(table_dir)
+    return snap is not None and icelite.read_manifest(table_dir, snap)[
+        "round"
+    ] >= round_n
+
+
+def _snap_as_of(table_dir: str, round_max: int) -> int | None:
+    """Latest snapshot with round <= round_max — walks the parent
+    chain from the head (0 steps on a clean run, 1 on a crash re-run).
+    Pinning reads to the PREVIOUS round's snapshot makes a re-run see
+    exactly what the crashed run saw (snapshot isolation), so its
+    recomputation is bit-identical."""
+    snap = icelite.latest_snapshot_id(table_dir)
+    while snap is not None:
+        m = icelite.read_manifest(table_dir, snap)
+        if m["round"] <= round_max:
+            return snap
+        snap = m["parent_id"]
+    return None
+
+
 def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     """Execute one crawl round; returns the round's metric counters.
 
@@ -208,8 +236,13 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         "row_count"
     ]
     fetched_tbl = cfg.table("fetched")
+    # reads are pinned to the snapshots AS OF round_n-1 (0 chain steps
+    # on a clean run): a crash-interrupted round may have committed
+    # SOME of its tables before dying, and a re-run must see exactly
+    # what the crashed run saw so its recomputation is bit-identical
+    # (snapshot isolation — the same property resume() builds on)
     tomb_snap_id = (
-        icelite.latest_snapshot_id(fetched_tbl)
+        _snap_as_of(fetched_tbl, round_n - 1)
         if cfg.frontier_mode == "append"
         else None
     )
@@ -222,7 +255,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # (frontier entries are globally unique — they were anti-joined
     # against the seen set before appending)
     n_pending = n_frontier_rows - n_tomb
-    if n_pending == 0:
+    if n_pending <= 0:
         return {"round": round_n, "n_pending": 0, "n_fetched": 0}
     frontier = icelite.read_snapshot(spark, cfg.table("frontier"), frontier_snap_id)
     if tomb_snap_id and n_tomb > 0:
@@ -272,8 +305,16 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # fit in executor memory), and not a scratch that gets re-copied.
     # Every later consumer reads a PRUNED projection of these columnar
     # files: trace/links never deserialize the image bytes, and the
-    # corpus "write" below is a zero-copy metadata commit.
-    fetch_dir = icelite.next_data_dir(cfg.table("corpus"))
+    # corpus "write" below is a zero-copy metadata commit.  On a crash
+    # re-run whose corpus commit already landed, fetch to a scratch dir
+    # instead — writing into next_data_dir then would plant orphan
+    # files in the directory the NEXT round's commit_files will glob.
+    corpus_done = _round_committed(cfg.table("corpus"), round_n)
+    fetch_dir = (
+        os.path.join(cfg.root, f"_refetch-{round_n:06d}")
+        if corpus_done
+        else icelite.next_data_dir(cfg.table("corpus"))
+    )
     fetch_selected(selected).write.mode("overwrite").option(
         "parquet.enable.dictionary", "false"  # fat binary col, see icelite
     ).parquet(fetch_dir)
@@ -358,7 +399,8 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             F.col("http_status").alias("status"),
             "image_id",
         )
-        icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
+        if not _round_committed(cfg.table("trace"), round_n):
+            icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
         mark("trace")
 
         if overlap:
@@ -372,25 +414,26 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # 6. corpus append (authoritative schema, BASELINE.json:15) —
     # zero-copy: the fetch output files ARE the corpus data; the
     # manifest records the projection onto the corpus schema.
-    icelite.commit_files(
-        cfg.table("corpus"),
-        fetch_dir,
-        round_n,
-        row_count=n_images,
-        meta={
-            "where": "image_id IS NOT NULL",
-            "select": [
-                "image_id",
-                "image_bytes AS bytes",
-                "img_w AS w",
-                "img_h AS h",
-                "img_fmt AS fmt",
-                "caption",
-                "phash",
-            ],
-        },
-        mode="append",
-    )
+    if not corpus_done:
+        icelite.commit_files(
+            cfg.table("corpus"),
+            fetch_dir,
+            round_n,
+            row_count=n_images,
+            meta={
+                "where": "image_id IS NOT NULL",
+                "select": [
+                    "image_id",
+                    "image_bytes AS bytes",
+                    "img_w AS w",
+                    "img_h AS h",
+                    "img_fmt AS fmt",
+                    "caption",
+                    "phash",
+                ],
+            },
+            mode="append",
+        )
     mark("corpus")
 
     # 7. new links
@@ -436,8 +479,9 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     links = scheme_depth_gate(links, cfg.max_depth)
     links = dedup_batch(links)
 
-    seen_snap_id = icelite.latest_snapshot_id(cfg.table("seen"))
-    n_seen = icelite.read_manifest(cfg.table("seen"), seen_snap_id)["row_count"]
+    seen_snap_id = _snap_as_of(cfg.table("seen"), round_n - 1)
+    seen_manifest = icelite.read_manifest(cfg.table("seen"), seen_snap_id)
+    n_seen = seen_manifest["row_count"]
     seen = icelite.read_snapshot(spark, cfg.table("seen"), seen_snap_id)
     # exact-join crossover (CrawlConfig.seen_join_file_min_keys): probe
     # the seen table's own range-clustered files in place instead of
@@ -471,9 +515,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         # set is not a superset of the build's (compaction), or when
         # the distribution mode crosses over.
         bst = cfg._dims.get("bloom")
-        cur_files = frozenset(
-            icelite.read_manifest(cfg.table("seen"), seen_snap_id)["files"]
-        )
+        cur_files = frozenset(seen_manifest["files"])
         want_mode = "file" if n_seen >= cfg.bloom_file_min_keys else "bcast"
         fresh_ok = (
             bst is not None
@@ -550,13 +592,18 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
 
     # 8. commits: seen += new, frontier = residual ∪ new
-    # (n_new comes free from the append-commit's manifest delta)
-    seen_snap = icelite.commit(
-        new_links.select("url_canon", "url_hash"),
-        cfg.table("seen"),
-        round_n,
-        mode="append",
-    )
+    # (n_new comes free from the append-commit's manifest delta; each
+    # append is guarded by _round_committed so a crash re-run never
+    # double-appends)
+    if not _round_committed(cfg.table("seen"), round_n):
+        seen_snap = icelite.commit(
+            new_links.select("url_canon", "url_hash"),
+            cfg.table("seen"),
+            round_n,
+            mode="append",
+        )
+    else:
+        seen_snap = icelite.latest_snapshot_id(cfg.table("seen"))
     n_new = icelite.read_manifest(cfg.table("seen"), seen_snap)["row_count"] - n_seen
     # the commit just materialized cand_df's cache as a side effect, so
     # this count is a cache-local read, not a recompute job
@@ -574,7 +621,10 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             range_cols=["url_hash"],
             target_files=cfg.n_shards,
         )
-        icelite.expire_snapshots(cfg.table("seen"), keep_last=2)
+        # keep_last=3 (not 2): round r's maintenance must leave the
+        # r-1 snapshot readable — a crash re-run of round r pins its
+        # reads there (_snap_as_of)
+        icelite.expire_snapshots(cfg.table("seen"), keep_last=3)
     mark("seen")
     if cfg.frontier_mode == "append":
         # LSM write path: O(delta) commits — tombstones for the rows
@@ -587,13 +637,17 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             .unionByName(selected.select("url_canon", "url_hash"))
             .repartitionByRange(cfg.n_shards, "url_hash")
         )
-        icelite.commit(tombs, fetched_tbl, round_n, mode="append")
-        frontier_snap = icelite.commit(
-            new_links.select(*[f.name for f in FRONTIER.fields]),
-            cfg.table("frontier"),
-            round_n,
-            mode="append",
-        )
+        if not _round_committed(fetched_tbl, round_n):
+            icelite.commit(tombs, fetched_tbl, round_n, mode="append")
+        if not _round_committed(cfg.table("frontier"), round_n):
+            frontier_snap = icelite.commit(
+                new_links.select(*[f.name for f in FRONTIER.fields]),
+                cfg.table("frontier"),
+                round_n,
+                mode="append",
+            )
+        else:
+            frontier_snap = icelite.latest_snapshot_id(cfg.table("frontier"))
         if (
             cfg.compact_frontier_every
             and round_n % cfg.compact_frontier_every == 0
@@ -602,7 +656,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             # amortized O(frontier / K); result-invariant (trace test)
             pend = icelite.read_snapshot(spark, cfg.table("frontier"))
             t_idx = icelite.file_hash_index(fetched_tbl)
-            if t_idx:
+            if t_idx is not None:
                 pend = anti_join_seen_files(pend, t_idx)
             else:  # stats unavailable — broadcast-anti fallback, never
                 # skip tombstone removal (a skipped removal resurrects
@@ -626,8 +680,10 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
                 round_n,
                 mode="replace",
             )
-            icelite.expire_snapshots(cfg.table("frontier"), keep_last=2)
-            icelite.expire_snapshots(fetched_tbl, keep_last=2)
+            # keep_last=3: see the seen-table expiry note (crash
+            # re-runs pin reads to the r-1 snapshots)
+            icelite.expire_snapshots(cfg.table("frontier"), keep_last=3)
+            icelite.expire_snapshots(fetched_tbl, keep_last=3)
     else:
         residual = allowed.join(
             selected.select("url_canon"), "url_canon", "left_anti"
@@ -659,7 +715,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             F.lit(frontier_snap).cast("long").alias("snapshot_id"),
         )
     )
-    icelite.commit(per_part, cfg.table("lineage"), round_n, mode="append")
+    if not _round_committed(cfg.table("lineage"), round_n):
+        icelite.commit(per_part, cfg.table("lineage"), round_n, mode="append")
+    if corpus_done:
+        # the re-fetch scratch dir is derived data, not a table
+        shutil.rmtree(fetch_dir, ignore_errors=True)
     mark("lineage")
 
     stats = {
