@@ -314,3 +314,63 @@ def test_crash_mid_round_then_resume_matches_oracle(
     otrace, oseen = _oracle_crawl(3)
     assert strace == otrace
     assert sseen == oseen
+
+
+def test_crash_mid_frontier_compaction_then_resume(spark, tmp_path, monkeypatch):
+    """The LSM compaction is two replace-commits (frontier, then the
+    tombstone reset).  Crash BETWEEN them: the next round sees the
+    impossible n_tomb > n_frontier_rows state, must self-heal (finish
+    the tombstone reset) instead of early-returning n_pending <= 0 and
+    silently halting the crawl — and the final result must still equal
+    the oracle."""
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import (
+        CrawlConfig, crawl_round, init_crawl, read_seen, read_trace, resume,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    kw = dict(
+        frontier_mode="append", compact_frontier_every=2,
+        use_bloom=True, bloom_min_keys=0,
+    )
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+
+    class Boom(Exception):
+        pass
+
+    real_commit = icelite.commit
+
+    def crashing(df, table_dir, round_n, meta=None, **kw2):
+        snap = real_commit(df, table_dir, round_n, meta=meta, **kw2)
+        if (
+            table_dir.endswith(os.sep + "frontier")
+            and (meta or {}).get("compacted")
+            and round_n == 2
+        ):
+            raise Boom(table_dir)
+        return snap
+
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(Boom):
+        crawl_round(spark, cfg, 2)  # compaction round
+    monkeypatch.setattr(icelite, "commit", real_commit)
+
+    cfg2 = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    last = icelite.read_manifest(
+        cfg2.table("frontier"), icelite.latest_snapshot_id(cfg2.table("frontier"))
+    )["round"]
+    stats = resume(spark, cfg2, rounds=3 - last)
+    assert all(s.get("n_fetched", 0) > 0 for s in stats), (
+        "self-heal failed: crawl halted on the stale-tombstone state"
+    )
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg2).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg2).collect()}
+    otrace, oseen = _oracle_crawl(3)
+    assert strace == otrace
+    assert sseen == oseen

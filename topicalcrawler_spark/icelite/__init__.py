@@ -51,6 +51,18 @@ def latest_snapshot_id(table_dir: str) -> int | None:
         return json.load(f)["snapshot_id"]
 
 
+def latest_pointer(table_dir: str) -> dict | None:
+    """The LATEST pointer dict ({snapshot_id, round, meta} for commits
+    made by this version; older pointers may lack round/meta) — the
+    O(1) read the round-idempotency guards use instead of parsing an
+    O(files) manifest."""
+    p = _latest_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def read_manifest(table_dir: str, snapshot_id: int) -> dict:
     with open(_manifest_path(table_dir, snapshot_id)) as f:
         return json.load(f)
@@ -167,7 +179,12 @@ def commit(
 
     ltmp = _latest_path(table_dir) + ".tmp"
     with open(ltmp, "w") as f:
-        json.dump({"snapshot_id": snap_id}, f)
+        # round/meta ride along so round-guard reads (_round_committed,
+        # _snap_as_of fast path) are O(1) instead of an O(files)
+        # manifest parse per guard per round
+        json.dump(
+            {"snapshot_id": snap_id, "round": round_n, "meta": meta or {}}, f
+        )
     os.replace(ltmp, _latest_path(table_dir))
     return snap_id
 
@@ -219,7 +236,12 @@ def commit_files(
     os.replace(tmp, mpath)
     ltmp = _latest_path(table_dir) + ".tmp"
     with open(ltmp, "w") as f:
-        json.dump({"snapshot_id": snap_id}, f)
+        # round/meta ride along so round-guard reads (_round_committed,
+        # _snap_as_of fast path) are O(1) instead of an O(files)
+        # manifest parse per guard per round
+        json.dump(
+            {"snapshot_id": snap_id, "round": round_n, "meta": meta or {}}, f
+        )
     os.replace(ltmp, _latest_path(table_dir))
     return snap_id
 

@@ -187,6 +187,29 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
     frontier0.unpersist()
 
 
+def _latest_round(table_dir: str) -> tuple[int | None, int | None, dict]:
+    """(snapshot_id, round, meta) of the head — O(1) via the LATEST
+    pointer, falling back to one manifest parse for pre-round-pointer
+    tables."""
+    ptr = icelite.latest_pointer(table_dir)
+    if ptr is None:
+        return None, None, {}
+    if "round" in ptr:
+        return ptr["snapshot_id"], ptr["round"], ptr.get("meta", {})
+    m = icelite.read_manifest(table_dir, ptr["snapshot_id"])
+    return m["snapshot_id"], m["round"], m.get("meta", {})
+
+
+def _compaction_done(table_dir: str, round_n: int) -> bool:
+    """True when round_n's compaction replace-commit already landed —
+    re-running it would add a redundant same-round snapshot, and with
+    expire(keep_last=3) a second redundant snapshot would push the
+    round r-1 manifest (which crash re-runs pin their reads to) out of
+    the kept window."""
+    _, rnd, meta = _latest_round(table_dir)
+    return rnd is not None and rnd >= round_n and bool(meta.get("compacted"))
+
+
 def _round_committed(table_dir: str, round_n: int) -> bool:
     """True when ``table_dir`` already holds round_n's commit — the
     idempotency guard that makes a crash-interrupted round safely
@@ -194,19 +217,19 @@ def _round_committed(table_dir: str, round_n: int) -> bool:
     re-running must skip the commits that landed before the crash,
     or append tables double-append: duplicate trace rows, double
     tombstones corrupting the n_pending arithmetic, lost new links)."""
-    snap = icelite.latest_snapshot_id(table_dir)
-    return snap is not None and icelite.read_manifest(table_dir, snap)[
-        "round"
-    ] >= round_n
+    _, rnd, _ = _latest_round(table_dir)
+    return rnd is not None and rnd >= round_n
 
 
 def _snap_as_of(table_dir: str, round_max: int) -> int | None:
-    """Latest snapshot with round <= round_max — walks the parent
-    chain from the head (0 steps on a clean run, 1 on a crash re-run).
-    Pinning reads to the PREVIOUS round's snapshot makes a re-run see
-    exactly what the crashed run saw (snapshot isolation), so its
-    recomputation is bit-identical."""
-    snap = icelite.latest_snapshot_id(table_dir)
+    """Latest snapshot with round <= round_max — O(1) on a clean run
+    (LATEST pointer fast path), walking the parent chain only on a
+    crash re-run.  Pinning reads to the PREVIOUS round's snapshot makes
+    a re-run see exactly what the crashed run saw (snapshot isolation),
+    so its recomputation is bit-identical."""
+    snap, rnd, _ = _latest_round(table_dir)
+    if snap is None or (rnd is not None and rnd <= round_max):
+        return snap
     while snap is not None:
         m = icelite.read_manifest(table_dir, snap)
         if m["round"] <= round_max:
@@ -231,16 +254,16 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         now = time.monotonic()
         phases[name] = round(now - _t[0], 2)
         _t[0] = now
-    frontier_snap_id = icelite.latest_snapshot_id(cfg.table("frontier"))
-    n_frontier_rows = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
-        "row_count"
-    ]
-    fetched_tbl = cfg.table("fetched")
     # reads are pinned to the snapshots AS OF round_n-1 (0 chain steps
     # on a clean run): a crash-interrupted round may have committed
     # SOME of its tables before dying, and a re-run must see exactly
     # what the crashed run saw so its recomputation is bit-identical
     # (snapshot isolation — the same property resume() builds on)
+    frontier_snap_id = _snap_as_of(cfg.table("frontier"), round_n - 1)
+    n_frontier_rows = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
+        "row_count"
+    ]
+    fetched_tbl = cfg.table("fetched")
     tomb_snap_id = (
         _snap_as_of(fetched_tbl, round_n - 1)
         if cfg.frontier_mode == "append"
@@ -251,6 +274,23 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         if tomb_snap_id
         else 0
     )
+    if n_tomb > n_frontier_rows:
+        # impossible in any consistent state (tombstones are a subset
+        # of frontier-append rows) — this is the signature of a crash
+        # BETWEEN a frontier compaction's replace-commit and the
+        # tombstone reset that follows it.  The pending SET is still
+        # correct (stale tombstones match nothing in the compacted
+        # frontier), only the arithmetic is skewed; finish the
+        # interrupted maintenance now and carry on.
+        icelite.commit(
+            spark.createDataFrame(
+                [], "url_canon string, url_hash long"
+            ).repartition(1),
+            fetched_tbl,
+            round_n - 1,
+            mode="replace",
+        )
+        tomb_snap_id, n_tomb = None, 0
     # exact: every tombstone key is a distinct frontier-append row
     # (frontier entries are globally unique — they were anti-joined
     # against the seen set before appending)
@@ -613,7 +653,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # compaction (url_hash-range, preserving shard alignment) + expiry
     # keeps its file count O(n_shards) forever.  Pure physical rewrite:
     # the trace test with compact_seen_every=2 pins result equality.
-    if cfg.compact_seen_every and round_n % cfg.compact_seen_every == 0:
+    if (
+        cfg.compact_seen_every
+        and round_n % cfg.compact_seen_every == 0
+        and not _compaction_done(cfg.table("seen"), round_n)
+    ):
         icelite.compact(
             spark,
             cfg.table("seen"),
@@ -651,6 +695,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         if (
             cfg.compact_frontier_every
             and round_n % cfg.compact_frontier_every == 0
+            and not _compaction_done(cfg.table("frontier"), round_n)
         ):
             # materialize the pending view and restart both chains —
             # amortized O(frontier / K); result-invariant (trace test)
@@ -670,6 +715,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
                 pend.repartitionByRange(cfg.n_shards, "url_hash"),
                 cfg.table("frontier"),
                 round_n,
+                meta={"compacted": True},
                 mode="replace",
             )
             icelite.commit(
@@ -752,7 +798,23 @@ def run_crawl(
 def resume(spark: SparkSession, cfg: CrawlConfig, rounds: int) -> list[dict]:
     """§3.3 — continue from the last committed snapshots.  All state
     lives in icelite tables, so resumption is just 'run more rounds';
-    the equivalence crawl(k) ≡ crawl(j);resume(k−j) is property-tested."""
+    the equivalence crawl(k) ≡ crawl(j);resume(k−j) is property-tested.
+
+    Completion marker = the frontier commit.  The STATE plane (trace /
+    seen / corpus / frontier / tombstones) is exactly-once under any
+    crash point (_round_committed + pinned reads); the lineage table —
+    observability, not state — commits after the frontier, so a crash
+    in that narrow window loses that round's lineage rows (best-effort
+    by design: recomputing them would need the round's fetch output,
+    which only the corpus keeps)."""
+    # sweep orphaned re-fetch scratch dirs: a crash on a corpus-done
+    # re-run after its frontier commit means the round is never
+    # revisited, so its scratch would otherwise leak a full round of
+    # image bytes
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(cfg.root, "_refetch-*")):
+        shutil.rmtree(d, ignore_errors=True)
     last = icelite.read_manifest(
         cfg.table("frontier"), icelite.latest_snapshot_id(cfg.table("frontier"))
     )["round"]
