@@ -66,6 +66,134 @@ def test_expire_snapshots_replace_and_append(spark, tmp_path):
     assert icelite.read_snapshot(spark, t_app).count() == 40
 
 
+def test_concurrent_commit_conflict_keeps_chain_unbroken(spark, tmp_path):
+    """Optimistic concurrency (the Iceberg commit-conflict analogue):
+    two writers racing to the same parent — the slower one must RAISE,
+    not silently last-wins the LATEST pointer (round-3 verdict: that
+    dropped a snapshot the moment a real cluster retries a driver).
+    The winner's snapshot, data files, and pointer must be untouched
+    by the losing attempt."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(5).selectExpr("id AS v"), t, round_n=0)
+
+    # writer A reads the table state (parent = 1) ...
+    parent_seen_by_a = icelite.latest_snapshot_id(t)
+    assert parent_seen_by_a == 1
+    # ... then writer B lands snapshot 2 first
+    icelite.commit(
+        spark.range(100, 103).selectExpr("id AS v"), t, round_n=1,
+        mode="append",
+    )
+    winner = icelite.read_manifest(t, 2)
+
+    # writer A's attempt (same parent -> same claimed id) must conflict.
+    # Simulate by monkey-free re-entry: commit() re-reads LATEST, so
+    # pin the race by pre-claiming the id A would take after B... i.e.
+    # A's commit now targets snapshot 3; emulate the true same-id race
+    # through the claim primitive itself:
+    with pytest.raises(icelite.CommitConflict):
+        icelite._claim_manifest(
+            {"snapshot_id": 2, "parent_id": 1, "files": [], "row_count": 0,
+             "round": 1, "meta": {}, "data_dir": str(tmp_path / "na")},
+            icelite._manifest_path(t, 2),
+        )
+    # chain unbroken: winner manifest intact, data readable, pointer at 2
+    assert icelite.read_manifest(t, 2) == winner
+    assert icelite.latest_snapshot_id(t) == 2
+    assert icelite.read_snapshot(spark, t).count() == 8
+    assert all(os.path.exists(f) for f in winner["files"])
+
+
+def test_commit_conflict_via_racing_dataframes(spark, tmp_path):
+    """End-to-end race: two commit() calls whose parent reads interleave
+    (B commits while A is mid-write).  A unique per-attempt data dir
+    means A can never clobber B's files; the manifest claim means A
+    raises instead of overwriting B's manifest."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(4).selectExpr("id AS v"), t, round_n=0)
+
+    real_latest = icelite.latest_snapshot_id
+    state = {"fired": False}
+
+    def racing_latest(table_dir):
+        parent = real_latest(table_dir)
+        if not state["fired"]:
+            state["fired"] = True
+            # B sneaks in a full commit after A read its parent
+            icelite.commit(
+                spark.range(50, 55).selectExpr("id AS v"), t, round_n=1,
+                mode="append",
+            )
+        return parent
+
+    icelite.latest_snapshot_id = racing_latest
+    try:
+        with pytest.raises(icelite.CommitConflict):
+            icelite.commit(
+                spark.range(9).selectExpr("id AS v"), t, round_n=1,
+                mode="append",
+            )
+    finally:
+        icelite.latest_snapshot_id = real_latest
+    # B's snapshot survives in full
+    assert icelite.latest_snapshot_id(t) == 2
+    assert icelite.read_snapshot(spark, t).count() == 9
+    m = icelite.read_manifest(t, 2)
+    assert all(os.path.exists(f) for f in m["files"])
+
+
+def test_recover_reclaims_orphan_manifest(spark, tmp_path):
+    """A commit that crashes between the manifest claim and the pointer
+    advance leaves an orphan manifest that blocks the id forever;
+    recover() (resume-time, single-writer) must delete it + its data
+    dir, after which the next commit succeeds."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+
+    # simulate the crash: manifest for snapshot 2 claimed, pointer never
+    # advanced
+    real_advance = icelite._advance_pointer
+
+    class Boom(Exception):
+        pass
+
+    def crashing(*a, **kw):
+        raise Boom()
+
+    icelite._advance_pointer = crashing
+    try:
+        with pytest.raises(Boom):
+            icelite.commit(
+                spark.range(7).selectExpr("id AS v"), t, round_n=1,
+                mode="append",
+            )
+    finally:
+        icelite._advance_pointer = real_advance
+
+    orphan_dir = icelite.read_manifest(t, 2)["data_dir"]
+    assert os.path.isdir(orphan_dir)
+    # readers are unaffected (pointer still at 1) but a new commit
+    # would hit the claimed id
+    assert icelite.latest_snapshot_id(t) == 1
+    with pytest.raises(icelite.CommitConflict):
+        icelite.commit(
+            spark.range(1).selectExpr("id AS v"), t, round_n=1, mode="append"
+        )
+    assert icelite.recover(t) == [2]
+    assert not os.path.isdir(orphan_dir)
+    s = icelite.commit(
+        spark.range(2).selectExpr("id AS v"), t, round_n=1, mode="append"
+    )
+    assert s == 2
+    assert icelite.read_snapshot(spark, t).count() == 5
+
+
 def test_manifest_file_stats_and_hash_index(spark, tmp_path):
     """Commit records per-file url_hash [min,max] (the Iceberg
     manifest-stats analogue); file_hash_index surfaces a complete

@@ -14,25 +14,46 @@ shaped so a real Iceberg catalog is a drop-in swap:
 Physical layout::
 
     table_dir/
-      data/snap-000001/part-*.parquet     (immutable once committed)
+      data/snap-000001-<tok>/part-*.parquet  (immutable once committed;
+                                              <tok> = unique per attempt)
       manifests/snap-000001.json          {snapshot_id, parent_id, files,
-                                           row_count, round, meta}
+                                           row_count, round, meta,
+                                           data_dir}
       LATEST.json                          (atomic pointer, os.replace)
 
 A commit writes data first, manifest second, pointer last — a crashed
 commit leaves the previous snapshot intact and fully readable
 (re-running the round is idempotent because snapshot inputs are
 immutable; SURVEY.md §3.1).
+
+Concurrency (the Iceberg commit-conflict analogue): the manifest file
+is the commit CLAIM, created with link-if-absent semantics — two
+writers racing to snapshot N+1 produce exactly one winner; the loser
+raises ``CommitConflict`` with its data untouched (each attempt writes
+into a unique per-attempt data directory, so the loser can never
+clobber the winner's files either).  The loser re-reads LATEST and
+retries on a fresh parent — the standard optimistic-concurrency loop a
+real catalog runs.  A CRASHED commit (manifest linked, pointer never
+advanced) leaves an orphan manifest that would otherwise block the
+next snapshot id forever; ``recover()`` — called at resume/startup,
+when single-writer ownership is re-established — deletes orphan
+manifests beyond the pointer along with their (unique) data dirs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import secrets
 from glob import glob
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this snapshot id first (LATEST moved
+    since this commit read it).  Re-read the table state and retry."""
 
 
 def _manifest_path(table_dir: str, snapshot_id: int) -> str:
@@ -97,6 +118,49 @@ def _url_hash_stats(md) -> list[int] | None:
     return None if lo is None else [int(lo), int(hi)]
 
 
+def _claim_manifest(manifest: dict, mpath: str) -> None:
+    """Atomically claim a snapshot id: link-if-absent of the manifest
+    file.  Exactly one writer wins a given id; losers raise
+    ``CommitConflict`` having touched nothing another reader uses."""
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    tmp = mpath + f".tmp-{secrets.token_hex(4)}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot {manifest['snapshot_id']} already claimed in "
+            f"{os.path.dirname(mpath)} — LATEST moved since this commit "
+            "read it (concurrent writer), or a crashed commit left an "
+            "orphan manifest (run icelite.recover at startup)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _advance_pointer(
+    table_dir: str, snap_id: int, round_n: int, meta: dict | None
+) -> None:
+    """Publish the snapshot.  Monotonic: never regress LATEST onto an
+    older id (a slower claim winner must not hide a newer snapshot).
+    The read-check-replace is not a CAS — on a shared store a real
+    catalog swap closes that last window; here the claim step already
+    serializes same-id writers, which is the race that loses data."""
+    cur = latest_snapshot_id(table_dir)
+    if cur is not None and cur >= snap_id:
+        return
+    ltmp = _latest_path(table_dir) + f".tmp-{secrets.token_hex(4)}"
+    with open(ltmp, "w") as f:
+        # round/meta ride along so round-guard reads (_round_committed,
+        # _snap_as_of fast path) are O(1) instead of an O(files)
+        # manifest parse per guard per round
+        json.dump(
+            {"snapshot_id": snap_id, "round": round_n, "meta": meta or {}}, f
+        )
+    os.replace(ltmp, _latest_path(table_dir))
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -111,10 +175,17 @@ def commit(
     files — append-only tables (seen / corpus / trace / lineage) never
     rewrite old data, which is what keeps a 10^10-row seen-set
     commit O(round delta), not O(total).
+
+    Raises ``CommitConflict`` if another writer claims the same
+    snapshot id first (optimistic concurrency — see module docstring);
+    this writer's data lands in a unique per-attempt directory, so a
+    losing attempt never touches the winner's files.
     """
     parent = latest_snapshot_id(table_dir)
     snap_id = (parent or 0) + 1
-    data_dir = os.path.join(table_dir, "data", f"snap-{snap_id:06d}")
+    data_dir = os.path.join(
+        table_dir, "data", f"snap-{snap_id:06d}-{secrets.token_hex(4)}"
+    )
     # Dictionary encoding is pathological for fat unique BINARY values
     # (the corpus `bytes` column: ~14x write slowdown hashing 25KB
     # blobs into dict pages) and useless for the unique URL/hash
@@ -169,23 +240,17 @@ def commit(
         "round": round_n,
         "meta": meta or {},
         "file_stats": file_stats,
+        "data_dir": data_dir,
     }
-    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    mpath = _manifest_path(table_dir, snap_id)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, mpath)
+    try:
+        _claim_manifest(manifest, _manifest_path(table_dir, snap_id))
+    except CommitConflict:
+        # the losing attempt's data dir is exclusively ours — reclaim it
+        import shutil
 
-    ltmp = _latest_path(table_dir) + ".tmp"
-    with open(ltmp, "w") as f:
-        # round/meta ride along so round-guard reads (_round_committed,
-        # _snap_as_of fast path) are O(1) instead of an O(files)
-        # manifest parse per guard per round
-        json.dump(
-            {"snapshot_id": snap_id, "round": round_n, "meta": meta or {}}, f
-        )
-    os.replace(ltmp, _latest_path(table_dir))
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    _advance_pointer(table_dir, snap_id, round_n, meta)
     return snap_id
 
 
@@ -227,22 +292,10 @@ def commit_files(
         "row_count": row_count,
         "round": round_n,
         "meta": meta or {},
+        "data_dir": data_dir,
     }
-    os.makedirs(os.path.join(table_dir, "manifests"), exist_ok=True)
-    mpath = _manifest_path(table_dir, snap_id)
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, mpath)
-    ltmp = _latest_path(table_dir) + ".tmp"
-    with open(ltmp, "w") as f:
-        # round/meta ride along so round-guard reads (_round_committed,
-        # _snap_as_of fast path) are O(1) instead of an O(files)
-        # manifest parse per guard per round
-        json.dump(
-            {"snapshot_id": snap_id, "round": round_n, "meta": meta or {}}, f
-        )
-    os.replace(ltmp, _latest_path(table_dir))
+    _claim_manifest(manifest, _manifest_path(table_dir, snap_id))
+    _advance_pointer(table_dir, snap_id, round_n, meta)
     return snap_id
 
 
@@ -286,7 +339,10 @@ def read_snapshot(
     if not manifest["files"]:
         # empty snapshot: re-read the (schema-bearing) empty parquet dir
         return spark.read.parquet(
-            os.path.join(table_dir, "data", f"snap-{snapshot_id:06d}")
+            manifest.get(
+                "data_dir",
+                os.path.join(table_dir, "data", f"snap-{snapshot_id:06d}"),
+            )
         )
     df = spark.read.parquet(*manifest["files"])
     meta = manifest.get("meta") or {}
@@ -325,8 +381,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
         referenced.update(read_manifest(table_dir, i)["files"])
 
     n_deleted = 0
+    drop_dirs: list[str] = []
     for i in drop:
-        for f in read_manifest(table_dir, i)["files"]:
+        m = read_manifest(table_dir, i)
+        drop_dirs.append(
+            m.get("data_dir", os.path.join(table_dir, "data", f"snap-{i:06d}"))
+        )
+        for f in m["files"]:
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 n_deleted += 1
@@ -335,8 +396,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     # unreferenced by kept manifests (this includes the one 0-row
     # schema-bearing file an all-empty commit keeps — referenced by no
     # manifest, so the dir goes once its snapshot is dropped)
-    for i in drop:
-        d = os.path.join(table_dir, "data", f"snap-{i:06d}")
+    for d in drop_dirs:
         if os.path.isdir(d) and not any(
             fn.endswith(".parquet") and os.path.join(d, fn) in referenced
             for fn in os.listdir(d)
@@ -349,6 +409,35 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
         "deleted_snapshots": drop,
         "deleted_files": n_deleted,
     }
+
+
+def recover(table_dir: str) -> list[int]:
+    """Crash recovery for interrupted commits — call at resume/startup,
+    once single-writer ownership of the table is re-established.
+
+    A commit that crashed between the manifest claim and the pointer
+    advance leaves an ORPHAN manifest (id beyond LATEST) that is
+    invisible to every reader but permanently blocks the next commit's
+    id claim with ``CommitConflict``.  Those orphans are pure debris:
+    delete each one's manifest and its per-attempt data directory
+    (unique to it by construction, so nothing referenced by the live
+    chain can be touched).  Returns the removed snapshot ids."""
+    import shutil
+
+    ptr = latest_snapshot_id(table_dir)
+    removed: list[int] = []
+    for m in history(table_dir):
+        if ptr is not None and m["snapshot_id"] <= ptr:
+            continue
+        d = m.get(
+            "data_dir",
+            os.path.join(table_dir, "data", f"snap-{m['snapshot_id']:06d}"),
+        )
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+        os.remove(_manifest_path(table_dir, m["snapshot_id"]))
+        removed.append(m["snapshot_id"])
+    return removed
 
 
 def compact(
