@@ -301,6 +301,78 @@ def test_anti_join_seen_files_equals_shuffle_join(spark, tmp_path):
     assert any(r[1] == "http://h.test/p/collide" for r in got)
 
 
+def test_anti_join_seen_files_eviction_under_small_batches(spark, tmp_path):
+    """The probe cache evicts files the ascending batch order has moved
+    past (round-3 ADVICE: unbounded per-task cache).  Force many small
+    Arrow batches per task over a many-file append chain — eviction
+    churns constantly, and the result must still equal the shuffle
+    anti-join exactly (an over-eager eviction would resurrect seen
+    rows; a missed overlap would drop fresh ones)."""
+    from pyspark.sql import functions as F
+
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.operators.dedup import (
+        anti_join_seen,
+        anti_join_seen_files,
+    )
+
+    t = str(tmp_path / "seen")
+    # 3 append commits x 8 range files = 24 files, overlapping ranges
+    for c in range(3):
+        seen_c = spark.createDataFrame(
+            [(i * 5 + c, f"http://h.test/p/{i}-{c}") for i in range(4000)],
+            "url_hash long, url_canon string",
+        ).repartitionByRange(8, "url_hash")
+        icelite.commit(seen_c, t, round_n=c, mode="append" if c else "replace")
+    index = icelite.file_hash_index(t)
+    assert index is not None and len(index) >= 16
+
+    links = spark.createDataFrame(
+        [(i, f"http://h.test/p/{i // 5}-{i % 5}") for i in range(0, 20000, 2)],
+        "url_hash long, url_canon string",
+    )
+    seen_df = icelite.read_snapshot(spark, t)
+    expected = {tuple(r) for r in anti_join_seen(links, seen_df).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        got = {
+            tuple(r)
+            for r in anti_join_seen_files(
+                links.repartitionByRange(4, "url_hash"), index
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expected
+
+
+def test_update_bloom_shard_files_rejects_in_place(spark, tmp_path):
+    """out_dir == prev_dir would overwrite bitmaps while the merge
+    tasks read them and hardlink files onto themselves — must fail
+    fast, not corrupt silently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from topicalcrawler_spark.operators.dedup import (
+        update_bloom_shard_files,
+        write_bloom_shard_files,
+    )
+
+    keys = spark.range(100).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    d = str(tmp_path / "shards")
+    k, nb = write_bloom_shard_files(keys, d, 8, total=100)
+    with pytest.raises(AssertionError, match="out_dir"):
+        update_bloom_shard_files(keys, d, d, 8, nb, k)
+    # realpath equality counts too (same dir through a different spelling)
+    with pytest.raises(AssertionError, match="out_dir"):
+        update_bloom_shard_files(
+            keys, d, str(tmp_path / "." / "shards"), 8, nb, k
+        )
+
+
 def test_incremental_bloom_equals_full_build(spark):
     """OR-monotonicity: build(all) == update(build(part1), part2) at
     equal (n_bits, k) — bit-for-bit, for both distribution forms."""

@@ -316,6 +316,80 @@ def test_crash_mid_round_then_resume_matches_oracle(
     assert sseen == oseen
 
 
+def test_crash_mid_compaction_small_tombstones_then_resume(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r3 (medium): the round-3 self-heal only fired on the
+    count signature n_tomb > n_frontier_rows — but on a LARGE frontier
+    the stale tombstones left by a crash between the compaction
+    replace-commit and the tombstone reset are FEWER than the compacted
+    frontier, so the inconsistency went undetected (n_pending silently
+    understated; a crawl can halt early).  The detection is now
+    structural: frontier head compacted at round rc + non-empty
+    tombstone head at round <= rc.  Crash at the round-4 compaction
+    (by then the frontier dwarfs one round's tombstones — asserted as
+    the test's precondition) and verify the resume self-heals and the
+    final trace + seen still equal the oracle."""
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import (
+        CrawlConfig, crawl_round, init_crawl, read_seen, read_trace, resume,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    kw = dict(frontier_mode="append", compact_frontier_every=4)
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    init_crawl(spark, cfg, seeds_path)
+    for r in (1, 2, 3):
+        crawl_round(spark, cfg, r)
+
+    class Boom(Exception):
+        pass
+
+    real_commit = icelite.commit
+
+    def crashing(df, table_dir, round_n, meta=None, **kw2):
+        snap = real_commit(df, table_dir, round_n, meta=meta, **kw2)
+        if (
+            table_dir.endswith(os.sep + "frontier")
+            and (meta or {}).get("compacted")
+            and round_n == 4
+        ):
+            raise Boom(table_dir)
+        return snap
+
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(Boom):
+        crawl_round(spark, cfg, 4)  # compaction round
+    monkeypatch.setattr(icelite, "commit", real_commit)
+
+    # precondition: this crash state is the one the old count check
+    # MISSED — stale tombstones <= compacted frontier rows
+    f_dir, t_dir = cfg.table("frontier"), cfg.table("fetched")
+    fm = icelite.read_manifest(f_dir, icelite.latest_snapshot_id(f_dir))
+    tm = icelite.read_manifest(t_dir, icelite.latest_snapshot_id(t_dir))
+    assert fm["meta"].get("compacted") and fm["round"] == 4
+    assert 0 < tm["row_count"] <= fm["row_count"], (
+        "fixture no longer exercises the small-tombstone case; "
+        f"n_tomb={tm['row_count']} n_frontier={fm['row_count']}"
+    )
+
+    cfg2 = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    stats = resume(spark, cfg2, rounds=1)
+    assert stats[0]["n_pending"] == fm["row_count"], (
+        "self-heal missed: stale tombstones still understate n_pending"
+    )
+    assert stats[0].get("n_fetched", 0) > 0
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg2).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg2).collect()}
+    otrace, oseen = _oracle_crawl(5)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_crash_mid_frontier_compaction_then_resume(spark, tmp_path, monkeypatch):
     """The LSM compaction is two replace-commits (frontier, then the
     tombstone reset).  Crash BETWEEN them: the next round sees the

@@ -95,37 +95,54 @@ def anti_join_seen_files(
     ``file_index``: [(path, min_hash, max_hash)] from the manifest —
     O(n_files) metadata, broadcast with the closure.  Callers should
     range-partition ``links`` by url_hash first so a task overlaps
-    O(n_files/n_partitions + 1) files; per-task memory is
-    O(keys of overlapping files), bounded by compaction's target file
-    size, not by the table.  Exactness: membership is tested on the
-    full (url_hash, url_canon) pair via a vectorized indicator merge —
-    identical semantics to ``anti_join_seen`` (collision-safe).
+    O(n_files/n_partitions + 1) files.  Exactness: membership is tested
+    on the full (url_hash, url_canon) pair via a vectorized indicator
+    merge — identical semantics to ``anti_join_seen`` (collision-safe).
+
+    Per-task memory bound: the probe side is ADDITIONALLY sorted within
+    each partition by url_hash, so a task's Arrow batches arrive in
+    ascending hash order and every cached seen file whose max hash falls
+    below the current batch's min can be evicted — it can never overlap
+    a later batch.  The cache therefore holds only the files overlapping
+    the CURRENT batch window, O(compaction target file size), even on an
+    append-heavy table accumulating O(rounds) files per hash range
+    (round-3 ADVICE: the unsorted form cached every overlapping file
+    for the task's lifetime, approaching O(n_seen/n_partitions)).
     """
     from pyspark.sql import types as T
 
     out_schema = T.StructType(list(links.schema.fields))
     cols = [f.name for f in links.schema.fields]
     index = sorted(file_index, key=lambda t: t[1])
+    fmax_of = {p: fmax for p, _, fmax in index}
 
     def probe(batches):
         import pyarrow.parquet as _pq
 
-        cache: dict[str, pd.DataFrame] = {}
+        cache: dict[str, tuple[pd.DataFrame, int]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf[cols]
                 continue
             lo = int(pdf["url_hash"].min())
             hi = int(pdf["url_hash"].max())
+            # evict files the ascending batch order has moved past
+            for path in [
+                p for p, (_, fmax) in cache.items() if fmax < lo
+            ]:
+                del cache[path]
             need = overlapping_files(index, lo, hi)
             for path in need:
                 if path not in cache:
                     cache[path] = (
                         _pq.read_table(path, columns=["url_hash", "url_canon"])
-                        .to_pandas()
+                        .to_pandas(),
+                        fmax_of[path],
                     )
             if need:
-                keys = pd.concat([cache[p] for p in need], ignore_index=True)
+                keys = pd.concat(
+                    [cache[p][0] for p in need], ignore_index=True
+                )
                 m = pdf.merge(
                     keys, on=["url_hash", "url_canon"],
                     how="left", indicator=True,
@@ -134,7 +151,9 @@ def anti_join_seen_files(
             else:
                 yield pdf[cols]
 
-    return links.mapInPandas(probe, schema=out_schema)
+    return links.sortWithinPartitions("url_hash").mapInPandas(
+        probe, schema=out_schema
+    )
 
 
 def _probe_batches(batches, get_shard, n_shards: int, k: int):
@@ -363,10 +382,25 @@ def update_bloom_shard_files(
     forward as hardlinks, an O(1)-metadata op per shard.  Per-round
     I/O is therefore O(touched-shard bitmap bytes), not O(total
     bitmap bytes) — at the multi-GB design-point bitmap set, a delta
-    landing in 2 of 4096 shards rewrites 2 bitmaps, not 4096."""
+    landing in 2 of 4096 shards rewrites 2 bitmaps, not 4096.
+
+    ``out_dir`` must differ from ``prev_dir``: an in-place update would
+    overwrite the previous bitmaps WHILE the merge tasks read them (and
+    hardlink files onto themselves) — asserted here rather than left to
+    corrupt silently.  Note for object-store deployments: the
+    carry-forward loop below is O(untouched shards) driver-side
+    hardlink syscalls; local/HDFS filesystems make each O(1) metadata,
+    but S3-style stores implement "link" as a full copy — there, keep
+    per-shard bitmap files small or batch the carry-forward through a
+    manifest that references the previous round's objects instead of
+    re-linking them."""
     import glob as _glob
     import os as _os
 
+    assert _os.path.realpath(out_dir) != _os.path.realpath(prev_dir), (
+        "update_bloom_shard_files: out_dir must differ from prev_dir "
+        "(in-place update would overwrite bitmaps while reading them)"
+    )
     spark = seen_delta.sparkSession
     delta_partials, _, _ = _merged_shard_bitmaps(
         seen_delta, n_shards, fpp=0.0, total=None, params=(n_bits, k)

@@ -57,7 +57,9 @@ def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> D
 
 
 def global_fetch_order(
-    selected: DataFrame, partitions: int | None = None
+    selected: DataFrame,
+    partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """O1 — total fetch order within a round; trace_seq is the rank.
 
@@ -82,6 +84,12 @@ def global_fetch_order(
     Scale contract unchanged: callers project payload columns away
     first; the selected set is politeness-budget-bounded, and every
     point of this plan is O(rows/partitions) per task.
+
+    ``cache_registry``: the internally persisted ranged layout is
+    appended here so the CALLER can unpersist it once the result is
+    materialized (one round's trace commit).  Without it, one
+    CacheManager entry per round would leak for the life of a long
+    crawl (round-3 ADVICE).
     """
     spark = selected.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
@@ -98,6 +106,8 @@ def global_fetch_order(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = (
         counts.alias("a")

@@ -68,6 +68,10 @@ from ..sources import fixtures as fx
 
 SEQ_STRIDE = MAX_LINKS * 2  # child seq = parent_seq*SEQ_STRIDE + idx + 1
 
+# compaction cadence applied automatically once the file-probed seen
+# join engages and the caller left compact_seen_every at 0 (auto)
+AUTO_COMPACT_SEEN_EVERY = 8
+
 
 @dataclass
 class CrawlConfig:
@@ -105,8 +109,14 @@ class CrawlConfig:
     # url_hash stats.  Results identical (trace test pins it by forcing
     # seen_join_file_min_keys=0).
     seen_join_file_min_keys: int = 50_000_000
-    # compact+expire the seen table every K rounds (0 = off).  Physical
+    # compact+expire the seen table every K rounds (0 = auto).  Physical
     # maintenance only — never changes results (trace-test-pinned).
+    # Auto: off while the seen table is small, but once the file-probed
+    # exact anti-join engages (seen_join_file_min_keys) compaction
+    # becomes MANDATORY every ``AUTO_COMPACT_SEEN_EVERY`` rounds: the
+    # probe's per-task memory is bounded by compaction's target file
+    # size, and an append-only table accumulating O(rounds) files per
+    # hash range would erode that bound (round-3 ADVICE).
     compact_seen_every: int = 0
     # frontier maintenance mode.  "replace" (default): each round
     # commits the full residual ∪ new-links frontier — simple, but an
@@ -260,28 +270,41 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # what the crashed run saw so its recomputation is bit-identical
     # (snapshot isolation — the same property resume() builds on)
     frontier_snap_id = _snap_as_of(cfg.table("frontier"), round_n - 1)
-    n_frontier_rows = icelite.read_manifest(cfg.table("frontier"), frontier_snap_id)[
-        "row_count"
-    ]
+    frontier_manifest = icelite.read_manifest(
+        cfg.table("frontier"), frontier_snap_id
+    )
+    n_frontier_rows = frontier_manifest["row_count"]
     fetched_tbl = cfg.table("fetched")
     tomb_snap_id = (
         _snap_as_of(fetched_tbl, round_n - 1)
         if cfg.frontier_mode == "append"
         else None
     )
-    n_tomb = (
-        icelite.read_manifest(fetched_tbl, tomb_snap_id)["row_count"]
-        if tomb_snap_id
-        else 0
+    tomb_manifest = (
+        icelite.read_manifest(fetched_tbl, tomb_snap_id) if tomb_snap_id else None
     )
-    if n_tomb > n_frontier_rows:
-        # impossible in any consistent state (tombstones are a subset
-        # of frontier-append rows) — this is the signature of a crash
-        # BETWEEN a frontier compaction's replace-commit and the
-        # tombstone reset that follows it.  The pending SET is still
-        # correct (stale tombstones match nothing in the compacted
-        # frontier), only the arithmetic is skewed; finish the
-        # interrupted maintenance now and carry on.
+    n_tomb = tomb_manifest["row_count"] if tomb_manifest else 0
+    # Detect a crash BETWEEN a frontier compaction's replace-commit and
+    # the tombstone reset that follows it — STRUCTURALLY, not by count
+    # (round-3 shipped only `n_tomb > n_frontier_rows`, which misses the
+    # common large-frontier case where the stale tombstones are fewer
+    # than the compacted frontier: n_pending is then silently
+    # understated, and can reach 0 while real pending URLs remain —
+    # halting the crawl early with no further commits to ever trigger
+    # the reset).  The signature: the pinned frontier head IS a
+    # compaction commit (meta.compacted) at round rc, yet the pinned
+    # tombstone head is a NON-EMPTY commit at round <= rc — a completed
+    # maintenance always leaves the reset (an empty replace at rc) as
+    # the tombstone head.  The pending SET is still correct either way
+    # (stale tombstones match nothing in the compacted frontier); only
+    # the arithmetic is skewed.  Finish the interrupted maintenance and
+    # carry on.
+    reset_missing = (
+        n_tomb > 0
+        and frontier_manifest.get("meta", {}).get("compacted")
+        and tomb_manifest["round"] <= frontier_manifest["round"]
+    )
+    if reset_missing or n_tomb > n_frontier_rows:
         icelite.commit(
             spark.createDataFrame(
                 [], "url_canon string, url_hash long"
@@ -416,8 +439,10 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             fr = metrics_df.first()
             mark("fetch_verify")
 
+        trace_caches: list = []
         trace = global_fetch_order(
             partitions=par,
+            cache_registry=trace_caches,
             selected=fetched.select(
                 "url_canon",
                 "host",
@@ -441,6 +466,10 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         )
         if not _round_committed(cfg.table("trace"), round_n):
             icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
+        # the commit materialized the ranged layout — release it now so
+        # crawl rounds don't leak one CacheManager entry each (ADVICE)
+        for c in trace_caches:
+            c.unpersist()
         mark("trace")
 
         if overlap:
@@ -653,9 +682,14 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # compaction (url_hash-range, preserving shard alignment) + expiry
     # keeps its file count O(n_shards) forever.  Pure physical rewrite:
     # the trace test with compact_seen_every=2 pins result equality.
+    compact_every = cfg.compact_seen_every or (
+        AUTO_COMPACT_SEEN_EVERY
+        if n_seen >= cfg.seen_join_file_min_keys
+        else 0
+    )
     if (
-        cfg.compact_seen_every
-        and round_n % cfg.compact_seen_every == 0
+        compact_every
+        and round_n % compact_every == 0
         and not _compaction_done(cfg.table("seen"), round_n)
     ):
         icelite.compact(
@@ -815,6 +849,14 @@ def resume(spark: SparkSession, cfg: CrawlConfig, rounds: int) -> list[dict]:
 
     for d in _glob.glob(os.path.join(cfg.root, "_refetch-*")):
         shutil.rmtree(d, ignore_errors=True)
+    # reclaim orphan manifests from commits that crashed between the
+    # manifest claim and the pointer advance — they are invisible to
+    # readers but would block the next commit's id claim
+    # (icelite.CommitConflict); resume re-establishes single-writer
+    # ownership, which is recover()'s precondition
+    for t in ("frontier", "seen", "corpus", "trace", "lineage", "fetched"):
+        if os.path.isdir(cfg.table(t)):
+            icelite.recover(cfg.table(t))
     last = icelite.read_manifest(
         cfg.table("frontier"), icelite.latest_snapshot_id(cfg.table("frontier"))
     )["round"]
