@@ -151,6 +151,27 @@ def test_run_to_icelite_commits_snapshots(spark):
     assert "epoch" in hist[-1]["meta"]
 
 
+def test_icelite_sink_idempotent_under_epoch_replay(spark, tmp_path):
+    """foreachBatch redelivers a micro-batch with the same epoch_id
+    after a failure/restart — the sink must commit it exactly once
+    (round-3 verdict: the unguarded append doubled replayed rows)."""
+    table = str(tmp_path / "tbl")
+    b0 = _batch_events(spark).limit(10)
+    b1 = _batch_events(spark).limit(25)
+
+    st.commit_batch(b0, table, 0)
+    st.commit_batch(b0, table, 0)  # replay of epoch 0
+    assert len(icelite.history(table)) == 1
+    assert icelite.read_snapshot(spark, table).count() == 10
+
+    st.commit_batch(b1, table, 1)
+    st.commit_batch(b1, table, 1)  # replay of epoch 1
+    st.commit_batch(b0, table, 0)  # stale re-replay after progress
+    hist = icelite.history(table)
+    assert [m["meta"]["epoch"] for m in hist] == [0, 1]
+    assert icelite.read_snapshot(spark, table).count() == 35
+
+
 def test_sliding_counts_stream(spark):
     out = st.sliding_counts(st.events_stream(spark, SF))
     st.drain_to_memory(out, "t_sliding", output_mode="update")

@@ -282,6 +282,29 @@ def stream_stream_interval_join(
 # ------------------------------------------------------- ST7/ST8 sinks
 
 
+def commit_batch(batch_df: DataFrame, table_dir: str, epoch_id: int) -> None:
+    """Commit ONE micro-batch as an icelite snapshot, exactly-once
+    under foreachBatch epoch replay: Structured Streaming redelivers a
+    micro-batch with the same ``epoch_id`` after a failure/restart, and
+    an unguarded append would land its rows twice (the round-3 verdict
+    finding — the batch crawl loop had this guard via
+    ``_round_committed``; the streaming sink did not).  Epochs are
+    monotonically increasing per checkpoint, so the O(1) LATEST-pointer
+    meta is a sufficient replay guard — no manifest-chain walk."""
+    ptr = icelite.latest_pointer(table_dir)
+    if ptr is not None and ptr.get("meta", {}).get("epoch") is not None and (
+        int(ptr["meta"]["epoch"]) >= int(epoch_id)
+    ):
+        return  # replayed epoch — its snapshot already committed
+    icelite.commit(
+        batch_df,
+        table_dir,
+        round_n=int(epoch_id),
+        meta={"epoch": int(epoch_id)},
+        mode="append",
+    )
+
+
 def run_to_icelite(
     df: DataFrame,
     table_dir: str,
@@ -291,19 +314,15 @@ def run_to_icelite(
     """ST7/ST8 — drain the stream with availableNow, committing each
     micro-batch as one icelite snapshot (epoch recorded in meta):
     exactly the crawl loop's round-per-micro-batch shape, restartable
-    from the Spark checkpoint + icelite manifest chain."""
-
-    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        icelite.commit(
-            batch_df,
-            table_dir,
-            round_n=int(epoch_id),
-            meta={"epoch": int(epoch_id)},
-            mode="append",
-        )
+    from the Spark checkpoint + icelite manifest chain, idempotent
+    under epoch replay (see ``commit_batch``)."""
 
     (
-        df.writeStream.foreachBatch(commit_batch)
+        df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: commit_batch(
+                batch_df, table_dir, epoch_id
+            )
+        )
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
