@@ -40,7 +40,7 @@ HEADLINE = [
     "session_window_events",
     "simhash_docs",
     "fingerprint_docs",
-    "quality_docs",
+    "langid_quality_docs",  # round-4 merge of langid_docs + quality_docs
     "embedding_topk_cosine",
     "per_host_topk_schedule",
     "url_canonicalize",

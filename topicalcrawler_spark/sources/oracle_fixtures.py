@@ -23,6 +23,7 @@ PHASH_N, PHASH_NEAR_DUP_RATE = 400, 0.03
 FEATURES_N = 200
 RESIZE_W = RESIZE_H = 32
 AV_N, AV_EVERY_K = 60, 2
+AUDIO_N = 40
 
 
 def _f(v: float) -> str:
@@ -78,17 +79,36 @@ def features_values_sql() -> str:
     return ",\n      ".join(vals)
 
 
-def av_frames_values_sql() -> str:
-    """Expected sampled-frame rows of the qvid fixture videos, computed
-    locally through the same decode_qvid/phash kernels the Spark
-    frame-sampling operator runs."""
-    from ..analysis.media import expected_frame_rows
-    from .fixtures import make_videos
+def av_media_values_sql() -> str:
+    """Expected media-union rows (video frame sampling + audio feature
+    extraction folded into ONE kind-tagged relation — registry packing,
+    round-3 verdict #1), computed locally through the same
+    decode_qvid/decode_qaud kernels the Spark operators run on
+    executors.  Column mapping:
+
+      kind='video': idx=frame_idx, ts_ms=frame_ts_ms, sig64=frame_phash,
+                    level=frame_mean_luma, zc=0
+      kind='audio': idx=0 ok / -1 corrupt, ts_ms=duration_ms, sig64=peak,
+                    level=rms, zc=zero_crossings
+    """
+    from ..analysis.media import _audio_features_one, expected_frame_rows
+    from .fixtures import make_audio, make_videos
 
     vals = []
     for r in make_videos(AV_N):
         for mid, idx, ts, ph, luma in expected_frame_rows(
             r["media_id"], r["payload"], AV_EVERY_K
         ):
-            vals.append(f"('{mid}', {int(idx)}, {_i(ts)}, {_i(ph)}, {_f(luma)})")
+            vals.append(
+                f"('video', '{mid}', {int(idx)}, {_i(ts)}, {_i(ph)}, "
+                f"{_f(luma)}, {_i(0)})"
+            )
+    for r in make_audio(AUDIO_N):
+        mid, ok, dur, rms, peak, zc = _audio_features_one(
+            r["media_id"], r["payload"]
+        )
+        vals.append(
+            f"('audio', '{mid}', {0 if ok else -1}, {_i(dur)}, {_i(peak)}, "
+            f"{_f(rms)}, {_i(zc)})"
+        )
     return ",\n      ".join(vals)
