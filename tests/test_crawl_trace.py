@@ -193,6 +193,65 @@ def test_crawl_exhausts_frontier_and_stays_oracle_equal(spark, tmp_path):
     assert n_left == 0
 
 
+def test_hot_host_skew_trace_parity_and_salt_spread(spark, tmp_path):
+    """BASELINE.json north_star: 'salted-by-host repartitioning to kill
+    hot-host skew'.  The salted two-stage top-k was oracle-proved equal
+    to the plain window in round 1, but no test ever crawled the
+    scenario the salt EXISTS for — one host holding ~100x the
+    candidates of every other.  Fixture: 2,000 seeds on one hot host
+    vs ~20 spread across the rest, small uniform budget.  Asserts
+    (a) exact trace + seen parity with the oracle under the skew, and
+    (b) the hot host's candidate set actually spans >1 salt bucket —
+    i.e. stage A of select_per_host_topk ranks the mega-host in
+    parallel tasks instead of one (the whole point of the salt)."""
+    from pyspark.sql import functions as F
+
+    from topicalcrawler_spark.core.synthweb import HOSTS
+    from topicalcrawler_spark.functions import canon_udf, url_hash_expr
+    from topicalcrawler_spark.operators.politeness import SALT
+    from topicalcrawler_spark.plans.round import CrawlConfig, run_crawl
+
+    hot = HOSTS[0]
+    seeds = [f"http://{hot}/s/{i:05d}" for i in range(2000)]
+    for hi in range(1, 11):
+        seeds.append(f"http://{HOSTS[hi]}/s/{hi:05d}")
+        seeds.append(f"http://{HOSTS[hi]}/s/{hi + 50:05d}")
+    seeds_path = str(tmp_path / "seeds.txt")
+    with open(seeds_path, "w") as f:
+        f.write("\n".join(seeds) + "\n")
+
+    # (b) precondition+mechanism: the hot host's urls span many salt
+    # buckets, via the SAME salt expression the scheduler applies
+    n_salts = (
+        spark.createDataFrame([(u,) for u in seeds[:2000]], "url string")
+        .withColumn("url_canon", canon_udf("url"))
+        .withColumn("url_hash", url_hash_expr("url_canon"))
+        .select(F.pmod(F.col("url_hash"), F.lit(SALT)).cast("int").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == SALT, f"hot host spans only {n_salts}/{SALT} salt buckets"
+
+    kw = dict(max_depth=2, budget_rows=[], default_budget=5)
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"), **kw)
+    run_crawl(spark, cfg, seeds_path, rounds=2)
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace, oseen = oracle_crawler.crawl(
+        seeds, 2, max_depth=2, default_budget=5, budget_rows=[]
+    )
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace]
+    assert strace == otrace
+    assert sseen == oseen
+    # skew sanity: the hot host dominated the candidate pool but was
+    # still budget-capped per round like everyone else
+    hot_fetches = [t for t in strace if t[3] == hot]
+    assert len(hot_fetches) == 2 * 5
+
+
 @pytest.mark.parametrize("mode", ["replace", "append"])
 def test_resume_equivalence(spark, tmp_path, mode):
     """§3.3: crawl(k) ≡ crawl(j); resume(k−j) — byte-identical trace
