@@ -108,6 +108,16 @@ def anti_join_seen_files(
     append-heavy table accumulating O(rounds) files per hash range
     (round-3 ADVICE: the unsorted form cached every overlapping file
     for the task's lifetime, approaching O(n_seen/n_partitions)).
+
+    The seen side never leaves Arrow: files are cached as pyarrow
+    Tables and narrowed per batch with a vectorized ``is_in`` semi-join
+    on url_hash; only the (collision-rate-sized) survivors are
+    converted for the exact (url_hash, url_canon) pandas merge.  The
+    round-4 design-point run measured why this matters: pandas-
+    materializing a 60M-key seen table is tens of millions of Python
+    string allocations PER ROUND (~46 s wall at 32 cores), all for a
+    probe set of a few hundred maybe-rows — O(seen) CPU hidden in what
+    the cost model requires to be an O(overlapping-file reads) step.
     """
     from pyspark.sql import types as T
 
@@ -117,9 +127,11 @@ def anti_join_seen_files(
     fmax_of = {p: fmax for p, _, fmax in index}
 
     def probe(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as _pq
 
-        cache: dict[str, tuple[pd.DataFrame, int]] = {}
+        cache: dict[str, tuple[pa.Table, int]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf[cols]
@@ -135,21 +147,30 @@ def anti_join_seen_files(
             for path in need:
                 if path not in cache:
                     cache[path] = (
-                        _pq.read_table(path, columns=["url_hash", "url_canon"])
-                        .to_pandas(),
+                        _pq.read_table(path, columns=["url_hash", "url_canon"]),
                         fmax_of[path],
                     )
-            if need:
-                keys = pd.concat(
-                    [cache[p][0] for p in need], ignore_index=True
-                )
-                m = pdf.merge(
-                    keys, on=["url_hash", "url_canon"],
-                    how="left", indicator=True,
-                )
-                yield m[m["_merge"] == "left_only"][cols]
-            else:
+            if not need:
                 yield pdf[cols]
+                continue
+            probe_hashes = pa.array(
+                pdf["url_hash"].to_numpy(dtype=np.int64), type=pa.int64()
+            )
+            hits = []
+            for p in need:
+                t = cache[p][0]
+                sub = t.filter(pc.is_in(t["url_hash"], value_set=probe_hashes))
+                if sub.num_rows:
+                    hits.append(sub.to_pandas())
+            if not hits:
+                yield pdf[cols]
+                continue
+            keys = pd.concat(hits, ignore_index=True)
+            m = pdf.merge(
+                keys, on=["url_hash", "url_canon"],
+                how="left", indicator=True,
+            )
+            yield m[m["_merge"] == "left_only"][cols]
 
     return links.sortWithinPartitions("url_hash").mapInPandas(
         probe, schema=out_schema
