@@ -507,3 +507,47 @@ def test_crash_mid_frontier_compaction_then_resume(spark, tmp_path, monkeypatch)
     otrace, oseen = _oracle_crawl(3)
     assert strace == otrace
     assert sseen == oseen
+
+
+def test_round_failure_releases_all_round_caches(spark, tmp_path, monkeypatch):
+    """Round-4 review finding: the per-round unpersists ran only on the
+    success path, so a round that died mid-flight (a crash-injection
+    re-run, or a CommitConflict from a racing driver) leaked its cached
+    DataFrames — including the trace rank's persisted ranged layout the
+    round-3 ADVICE fix was specifically meant to release — growing
+    CacheManager storage every failed round of a long crawl.  All round
+    caches are now registered and released in a ``finally``."""
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import crawl_round, init_crawl
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(
+        root=str(tmp_path / "crawl"), use_bloom=True, bloom_min_keys=0
+    )
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+    # baseline: only the per-crawl dim caches (robots/budgets) survive
+    # a completed round
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    class Boom(Exception):
+        pass
+
+    real_commit = icelite.commit
+
+    def crashing(df, table_dir, round_n, *a, **kw):
+        if table_dir.endswith(os.sep + "trace") and round_n == 2:
+            raise Boom(table_dir)
+        return real_commit(df, table_dir, round_n, *a, **kw)
+
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(Boom):
+        crawl_round(spark, cfg, 2)
+    monkeypatch.undo()
+
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
+
+    # and a clean re-run of the failed round still nets zero new caches
+    crawl_round(spark, cfg, 2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base

@@ -233,3 +233,73 @@ def test_manifest_file_stats_and_hash_index(spark, tmp_path):
     t2 = str(tmp_path / "plain")
     icelite.commit(spark.range(5), t2, round_n=0)
     assert icelite.file_hash_index(t2) is None
+
+
+def test_next_data_dir_per_attempt_isolation(spark, tmp_path, monkeypatch):
+    """Racing commit_files writers (a retried driver running the same
+    crawl round): each attempt's next_data_dir must be UNIQUE, so the
+    loser's ``mode("overwrite")`` fetch write lands in its own
+    directory and can never delete the part files the winner's
+    committed manifest references (round-4 review finding — the shared
+    ``data/snap-N`` dir let the loser destroy the winner's corpus)."""
+    import pytest
+
+    t = str(tmp_path / "corpus")
+    # both attempts read the same table state before either commits
+    da = icelite.next_data_dir(t)
+    db = icelite.next_data_dir(t)
+    assert da != db
+
+    # winner A: write + zero-copy commit
+    spark.range(4).selectExpr("id AS v").write.parquet(da)
+    icelite.commit_files(t, da, round_n=0, row_count=4)
+    winner = icelite.read_manifest(t, 1)
+    assert winner["files"] and all(os.path.exists(f) for f in winner["files"])
+
+    # loser B: its overwrite targets ITS OWN dir — winner untouched
+    spark.range(9).selectExpr("id AS v").write.mode("overwrite").parquet(db)
+    assert all(os.path.exists(f) for f in winner["files"])
+
+    # loser B's commit sees the stale parent id and must CONFLICT, not
+    # last-wins (pin the race: B captured parent=None before A's commit)
+    monkeypatch.setattr(icelite, "latest_snapshot_id", lambda _t: None)
+    with pytest.raises(icelite.CommitConflict):
+        icelite.commit_files(t, db, round_n=0, row_count=9)
+    monkeypatch.undo()
+
+    assert icelite.latest_snapshot_id(t) == 1
+    assert icelite.read_snapshot(spark, t).count() == 4
+    # B's debris dir is unreferenced — recover() (single-writer
+    # re-established) sweeps it; the winner's dir survives
+    icelite.recover(t)
+    assert not os.path.isdir(db)
+    assert icelite.read_snapshot(spark, t).count() == 4
+
+
+def test_recover_sweeps_unreferenced_data_dirs(spark, tmp_path):
+    """An attempt that crashes AFTER writing its per-attempt data dir
+    but BEFORE claiming a manifest leaves a dir referenced by nothing —
+    recover() must sweep it, while keeping (a) dirs holding live-chain
+    files and (b) the 0-row schema-bearing dir of an all-empty commit
+    (files=[] but data_dir recorded)."""
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+    live_dir = icelite.read_manifest(t, 1)["data_dir"]
+
+    # all-empty append: manifest keeps data_dir for the schema read
+    icelite.commit(
+        spark.range(3).selectExpr("id AS v").where("v < 0"),
+        t, round_n=1, mode="append",
+    )
+    empty_dir = icelite.read_manifest(t, 2)["data_dir"]
+
+    # crash-before-claim debris
+    debris = icelite.next_data_dir(t)
+    spark.range(7).selectExpr("id AS v").write.parquet(debris)
+    assert os.path.isdir(debris)
+
+    assert icelite.recover(t) == []  # no orphan manifests
+    assert not os.path.isdir(debris)
+    assert os.path.isdir(live_dir)
+    assert os.path.isdir(empty_dir)
+    assert icelite.read_snapshot(spark, t).count() == 3

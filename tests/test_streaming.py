@@ -181,3 +181,78 @@ def test_sliding_counts_stream(spark):
     )
     n_events = _batch_events(spark).count()
     assert total_stream == 4 * n_events
+
+
+def test_replay_guard_survives_non_epoch_commits(spark, tmp_path):
+    """Round-4 review finding: the replay guard read ONLY the LATEST
+    pointer's meta, so any maintenance commit without an 'epoch' key
+    (icelite.compact, or a third-party replace) disabled it and a
+    replayed micro-batch double-appended.  compact() now carries the
+    epoch high-water mark forward, and commit_batch falls back to a
+    manifest-chain walk when the pointer lacks one."""
+    table = str(tmp_path / "tbl")
+    b0 = _batch_events(spark).limit(10)
+    b1 = _batch_events(spark).limit(25)
+    st.commit_batch(b0, table, 0)
+    st.commit_batch(b1, table, 1)
+    assert icelite.read_snapshot(spark, table).count() == 35
+
+    # maintenance compaction between the batch and its replay
+    icelite.compact(spark, table, round_n=99, target_files=2)
+    assert icelite.latest_pointer(table)["meta"]["epoch"] == 1
+    st.commit_batch(b1, table, 1)  # replay after compact
+    assert icelite.read_snapshot(spark, table).count() == 35
+
+    # a replace commit that strips ALL meta (third-party maintenance):
+    # the chain walk must still find the last epoch commit
+    icelite.commit(
+        icelite.read_snapshot(spark, table), table, round_n=100,
+        mode="replace",
+    )
+    assert "epoch" not in icelite.latest_pointer(table)["meta"]
+    st.commit_batch(b1, table, 1)  # replay again
+    assert icelite.read_snapshot(spark, table).count() == 35
+    st.commit_batch(b0, table, 2)  # genuinely new epoch still lands
+    assert icelite.read_snapshot(spark, table).count() == 45
+
+
+def test_streaming_sink_restarts_after_claim_crash(spark, tmp_path):
+    """Round-4 review finding: a driver that died between the manifest
+    claim and the pointer advance left an orphan manifest; every
+    restart's replayed commit then failed with CommitConflict forever.
+    run_to_icelite now runs icelite.recover() at start (the checkpoint
+    dir gives the query single-writer ownership of the sink table).
+
+    Also pins two failure modes this test flushed out: (a) the replay
+    guard is keyed to the owning checkpoint — epoch ids are only
+    monotonic per checkpoint, so a NEW query (fresh checkpoint) whose
+    epoch 0 sits below the old query's high-water mark must still
+    commit, not be silently dropped; (b) a skipped replay must still
+    no-op-process the batch or Spark 4's state-store commit validation
+    fails the whole query (STATE_STORE_COMMIT_VALIDATION_FAILED)."""
+    tmp = str(tmp_path)
+    table = os.path.join(tmp, "stream_counts")
+    out = st.tumbling_counts(st.events_stream(spark, SF))
+    st.run_to_icelite(out, table, os.path.join(tmp, "ckpt1"))
+    n = icelite.read_snapshot(spark, table).count()
+    assert n > 0
+
+    # simulate the crash window: a claimed-but-unpublished manifest
+    orphan_id = icelite.latest_snapshot_id(table) + 1
+    icelite._claim_manifest(
+        {"snapshot_id": orphan_id, "parent_id": orphan_id - 1, "files": [],
+         "row_count": 0, "round": 0, "meta": {},
+         "data_dir": os.path.join(table, "data", "na")},
+        icelite._manifest_path(table, orphan_id),
+    )
+    # a bare commit_batch of a NEW epoch hits the orphan and raises
+    with pytest.raises(icelite.CommitConflict):
+        st.commit_batch(_batch_events(spark).limit(5), table, 10_000)
+
+    # ... but a sink restart recovers and drains normally.  This is a
+    # FRESH checkpoint: its epochs restart at 0 below the table's old
+    # high-water mark, and the checkpoint-keyed guard must let them
+    # commit (strict growth proves no batch was silently dropped).
+    out2 = st.tumbling_counts(st.events_stream(spark, SF))
+    st.run_to_icelite(out2, table, os.path.join(tmp, "ckpt2"))
+    assert icelite.read_snapshot(spark, table).count() > n

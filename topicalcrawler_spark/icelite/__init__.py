@@ -320,9 +320,16 @@ def file_hash_index(
 
 def next_data_dir(table_dir: str) -> str:
     """Directory where the NEXT snapshot's data files belong — write
-    here first, then commit_files() to publish."""
+    here first, then commit_files() to publish.  Unique PER ATTEMPT
+    (random suffix, same scheme as commit()): two racing writers each
+    get their own directory, so a loser's ``mode("overwrite")`` write
+    can never delete the files a winner's manifest already references.
+    An attempt that crashes before its commit_files leaves an
+    unreferenced debris dir; recover() sweeps those at restart."""
     snap_id = (latest_snapshot_id(table_dir) or 0) + 1
-    return os.path.join(table_dir, "data", f"snap-{snap_id:06d}")
+    return os.path.join(
+        table_dir, "data", f"snap-{snap_id:06d}-{secrets.token_hex(4)}"
+    )
 
 
 def read_snapshot(
@@ -421,7 +428,14 @@ def recover(table_dir: str) -> list[int]:
     id claim with ``CommitConflict``.  Those orphans are pure debris:
     delete each one's manifest and its per-attempt data directory
     (unique to it by construction, so nothing referenced by the live
-    chain can be touched).  Returns the removed snapshot ids."""
+    chain can be touched).  Returns the removed snapshot ids.
+
+    Also sweeps DEBRIS DATA DIRS: an attempt that crashed after writing
+    its (per-attempt, unique) data directory but BEFORE claiming a
+    manifest leaves a ``data/snap-*`` dir referenced by nothing.  A dir
+    is kept iff some surviving manifest records it as its ``data_dir``
+    (the empty-commit case keeps a 0-row schema file there with
+    ``files=[]``) or references at least one file inside it."""
     import shutil
 
     ptr = latest_snapshot_id(table_dir)
@@ -437,6 +451,23 @@ def recover(table_dir: str) -> list[int]:
             shutil.rmtree(d, ignore_errors=True)
         os.remove(_manifest_path(table_dir, m["snapshot_id"]))
         removed.append(m["snapshot_id"])
+
+    live = history(table_dir)  # post-orphan-removal chain
+    keep_dirs = {
+        os.path.normpath(m["data_dir"]) for m in live if m.get("data_dir")
+    }
+    referenced = {f for m in live for f in m["files"]}
+    for d in glob(os.path.join(table_dir, "data", "snap-*")):
+        nd = os.path.normpath(d)
+        if nd in keep_dirs or not os.path.isdir(d):
+            continue
+        if any(
+            os.path.join(d, fn) in referenced
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        ):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
     return removed
 
 
@@ -469,5 +500,16 @@ def compact(
         df = df.repartitionByRange(target_files, *range_cols)
     else:
         df = df.repartition(target_files)
-    return commit(df, table_dir, round_n, mode="replace",
-                  meta={"compacted": True})
+    meta: dict = {"compacted": True}
+    # Preserve the streaming sink's epoch high-water mark (and its
+    # owning-checkpoint key): the replay guard reads LATEST's meta
+    # O(1), and a maintenance commit that dropped it would let a
+    # replayed micro-batch double-append on top of the compacted
+    # snapshot that already contains its rows.
+    ptr = latest_pointer(table_dir)
+    pm = (ptr or {}).get("meta") or {}
+    if pm.get("epoch") is not None:
+        meta["epoch"] = int(pm["epoch"])
+        if pm.get("ckpt") is not None:
+            meta["ckpt"] = pm["ckpt"]
+    return commit(df, table_dir, round_n, mode="replace", meta=meta)

@@ -255,7 +255,26 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     so counters come from manifest row_counts (free) or single merged
     aggregations — never one .count() per metric.  Returned stats
     include per-phase wall times (``phases``) for scaling diagnosis.
+
+    Every DataFrame the round persists is registered and released in
+    a ``finally`` — a round that dies mid-flight (crash-injection
+    re-runs, a CommitConflict from a racing driver) must not leak
+    CacheManager entries into the next round of a long crawl.
     """
+    caches: list[DataFrame] = []
+    try:
+        return _crawl_round_impl(spark, cfg, round_n, caches)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _crawl_round_impl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    round_n: int,
+    caches: list[DataFrame],
+) -> dict:
     t_start = time.monotonic()
     phases: dict[str, float] = {}
     _t = [t_start]
@@ -341,6 +360,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # below, so the gate phase launches zero jobs of its own.
     robots_cur = _robots_df(spark, cfg)
     gated = with_robots_decision(frontier, robots_cur).cache()
+    caches.append(gated)
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
     mark("gate")
 
@@ -362,6 +382,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     cores = spark.sparkContext.defaultParallelism
     par = int(min(4 * cores, max(8, -(-n_pending // 64))))
     selected = selected.repartition(par, "url_hash").cache()
+    caches.append(selected)
 
     # 4. fetch ONCE, directly into the corpus table's next snapshot
     # directory — not a JVM cache (a round's images must never need to
@@ -370,8 +391,9 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
     # files: trace/links never deserialize the image bytes, and the
     # corpus "write" below is a zero-copy metadata commit.  On a crash
     # re-run whose corpus commit already landed, fetch to a scratch dir
-    # instead — writing into next_data_dir then would plant orphan
-    # files in the directory the NEXT round's commit_files will glob.
+    # instead — the re-run's corpus commit is skipped, so writing into
+    # next_data_dir (unique per attempt) would only plant a debris data
+    # dir for recover() to sweep; the scratch dir is deleted right here.
     corpus_done = _round_committed(cfg.table("corpus"), round_n)
     fetch_dir = (
         os.path.join(cfg.root, f"_refetch-{round_n:06d}")
@@ -440,36 +462,42 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
             mark("fetch_verify")
 
         trace_caches: list = []
-        trace = global_fetch_order(
-            partitions=par,
-            cache_registry=trace_caches,
-            selected=fetched.select(
+        try:
+            trace = global_fetch_order(
+                partitions=par,
+                cache_registry=trace_caches,
+                selected=fetched.select(
+                    "url_canon",
+                    "host",
+                    "depth",
+                    "relevance_q",
+                    "discovery_time",
+                    "discovery_seq",
+                    "http_status",
+                    "image_id",
+                )
+            ).select(
+                "trace_seq",
+                F.lit(round_n).alias("round"),
                 "url_canon",
                 "host",
                 "depth",
                 "relevance_q",
-                "discovery_time",
                 "discovery_seq",
-                "http_status",
+                F.col("http_status").alias("status"),
                 "image_id",
             )
-        ).select(
-            "trace_seq",
-            F.lit(round_n).alias("round"),
-            "url_canon",
-            "host",
-            "depth",
-            "relevance_q",
-            "discovery_seq",
-            F.col("http_status").alias("status"),
-            "image_id",
-        )
-        if not _round_committed(cfg.table("trace"), round_n):
-            icelite.commit(trace, cfg.table("trace"), round_n, mode="append")
-        # the commit materialized the ranged layout — release it now so
-        # crawl rounds don't leak one CacheManager entry each (ADVICE)
-        for c in trace_caches:
-            c.unpersist()
+            if not _round_committed(cfg.table("trace"), round_n):
+                icelite.commit(
+                    trace, cfg.table("trace"), round_n, mode="append"
+                )
+        finally:
+            # the commit materialized the ranged layout — release it
+            # even when the commit fails (a crash re-run's
+            # CommitConflict here would otherwise leak the very
+            # CacheManager entry this registry exists to free — ADVICE)
+            for c in trace_caches:
+                c.unpersist()
         mark("trace")
 
         if overlap:
@@ -648,6 +676,7 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         # cache the probe output: both branches below read it, so the
         # Arrow probe pass runs once, not once per branch
         probed = probe.cache()
+        caches.append(probed)
         # definitely-unseen rows skip the exact join; possible hits go
         # through the exact anti-join (the authority)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -656,9 +685,11 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         cand_df = probed
     else:
         links = links.cache()
+        caches.append(links)
         new_links = exact_unseen(links)
         cand_df = links
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
+    caches.append(new_links)
 
     # 8. commits: seen += new, frontier = residual ∪ new
     # (n_new comes free from the append-commit's manifest delta; each
@@ -814,10 +845,6 @@ def crawl_round(spark: SparkSession, cfg: CrawlConfig, round_n: int) -> dict:
         "n_new": int(n_new),
         "wall_s": time.monotonic() - t_start,
     }
-    gated.unpersist()
-    selected.unpersist()
-    cand_df.unpersist()
-    new_links.unpersist()
     return stats
 
 

@@ -17,6 +17,8 @@ Streaming design point.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -282,27 +284,97 @@ def stream_stream_interval_join(
 # ------------------------------------------------------- ST7/ST8 sinks
 
 
-def commit_batch(batch_df: DataFrame, table_dir: str, epoch_id: int) -> None:
+def _last_committed_epoch(
+    table_dir: str, query_key: str | None = None
+) -> int | None:
+    """Highest foreachBatch epoch already committed to ``table_dir``
+    by the query identified by ``query_key`` (epoch ids are only
+    monotonic PER CHECKPOINT — a new checkpoint restarts at 0, and a
+    guard that ignored the key would silently drop a new query's first
+    batches below the old query's high-water mark).  ``query_key=None``
+    matches any epoch commit (single-query tables).
+
+    O(1) fast path: the LATEST pointer's meta (every commit_batch and
+    icelite.compact writes it).  When LATEST lacks a matching epoch (a
+    maintenance replace commit by some other caller published since),
+    fall back to walking the parent chain for the most recent matching
+    epoch commit — without this, a post-compaction replay would
+    re-append rows the compacted snapshot already contains.  A chain
+    broken by expire_snapshots before any epoch commit returns None
+    (no epoch evidence survives — the caller appends)."""
+
+    def _match(meta: dict) -> int | None:
+        e = meta.get("epoch")
+        if e is None:
+            return None
+        if query_key is not None and meta.get("ckpt") != query_key:
+            return None
+        return int(e)
+
+    ptr = icelite.latest_pointer(table_dir)
+    if ptr is None:
+        return None
+    e = _match(ptr.get("meta") or {})
+    if e is not None:
+        return e
+    sid = ptr.get("snapshot_id")
+    while sid is not None:
+        try:
+            m = icelite.read_manifest(table_dir, sid)
+        except FileNotFoundError:
+            return None
+        e = _match(m.get("meta") or {})
+        if e is not None:
+            return e
+        sid = m.get("parent_id")
+    return None
+
+
+def commit_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    epoch_id: int,
+    query_key: str | None = None,
+) -> None:
     """Commit ONE micro-batch as an icelite snapshot, exactly-once
     under foreachBatch epoch replay: Structured Streaming redelivers a
     micro-batch with the same ``epoch_id`` after a failure/restart, and
     an unguarded append would land its rows twice (the round-3 verdict
     finding — the batch crawl loop had this guard via
-    ``_round_committed``; the streaming sink did not).  Epochs are
-    monotonically increasing per checkpoint, so the O(1) LATEST-pointer
-    meta is a sufficient replay guard — no manifest-chain walk."""
-    ptr = icelite.latest_pointer(table_dir)
-    if ptr is not None and ptr.get("meta", {}).get("epoch") is not None and (
-        int(ptr["meta"]["epoch"]) >= int(epoch_id)
-    ):
-        return  # replayed epoch — its snapshot already committed
-    icelite.commit(
-        batch_df,
-        table_dir,
-        round_n=int(epoch_id),
-        meta={"epoch": int(epoch_id)},
-        mode="append",
-    )
+    ``_round_committed``; the streaming sink did not).  The guard is
+    the LATEST pointer's meta with a manifest-chain fallback, keyed to
+    the owning checkpoint (see ``_last_committed_epoch``).  A
+    ``CommitConflict`` race (another restart of the same checkpoint
+    claimed the id first) is re-checked against the committed epochs
+    and swallowed when this epoch landed."""
+    last = _last_committed_epoch(table_dir, query_key)
+    if last is not None and last >= int(epoch_id):
+        # Replayed epoch — its snapshot already committed.  Still run
+        # one no-op pass over the batch: Spark 4's state-store commit
+        # validation requires every stateful partition to be processed
+        # by the foreachBatch function, and an early return here fails
+        # the whole query with STATE_STORE_COMMIT_VALIDATION_FAILED.
+        batch_df.write.format("noop").mode("overwrite").save()
+        return
+    meta: dict = {"epoch": int(epoch_id)}
+    if query_key is not None:
+        meta["ckpt"] = query_key
+    try:
+        icelite.commit(
+            batch_df,
+            table_dir,
+            round_n=int(epoch_id),
+            meta=meta,
+            mode="append",
+        )
+    except icelite.CommitConflict:
+        last = _last_committed_epoch(table_dir, query_key)
+        if last is not None and last >= int(epoch_id):
+            # lost the race to a writer that committed this epoch; the
+            # rows are in the table — consume the batch and move on
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        raise
 
 
 def run_to_icelite(
@@ -317,10 +389,18 @@ def run_to_icelite(
     from the Spark checkpoint + icelite manifest chain, idempotent
     under epoch replay (see ``commit_batch``)."""
 
+    # A previous run that died between the manifest claim and the
+    # pointer advance left an orphan manifest that would fail EVERY
+    # replayed commit with CommitConflict — the stream could never
+    # restart.  The checkpoint dir gives this query single-writer
+    # ownership of the sink table, so recovery here is safe (same
+    # contract as the batch crawl loop's resume()).
+    icelite.recover(table_dir)
+    query_key = os.path.abspath(checkpoint_dir)
     (
         df.writeStream.foreachBatch(
             lambda batch_df, epoch_id: commit_batch(
-                batch_df, table_dir, epoch_id
+                batch_df, table_dir, epoch_id, query_key=query_key
             )
         )
         .outputMode(output_mode)
