@@ -303,3 +303,55 @@ def test_recover_sweeps_unreferenced_data_dirs(spark, tmp_path):
     assert os.path.isdir(live_dir)
     assert os.path.isdir(empty_dir)
     assert icelite.read_snapshot(spark, t).count() == 3
+
+
+def test_commit_expected_parent_is_cas(spark, tmp_path):
+    """expected_parent makes commit() a compare-and-swap on the
+    snapshot the caller last read: a pointer advance since that read
+    must conflict, never silently claim the next free id."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+    # parent captured before snapshot 1 existed -> conflict
+    with pytest.raises(icelite.CommitConflict):
+        icelite.commit(
+            spark.range(2).selectExpr("id AS v"), t, round_n=0,
+            expected_parent=None,
+        )
+    assert icelite.latest_snapshot_id(t) == 1
+    # current parent commits normally
+    icelite.commit(
+        spark.range(2).selectExpr("id AS v"), t, round_n=1,
+        mode="append", expected_parent=1,
+    )
+    assert icelite.read_snapshot(spark, t).count() == 5
+
+
+def test_recover_keeps_legacy_empty_snapshot_dir(spark, tmp_path):
+    """Pre-data_dir manifests fall back to the un-suffixed
+    data/snap-NNNNNN dir for the empty-snapshot schema read
+    (read_snapshot and expire_snapshots both honor it); the recover()
+    debris sweep must apply the same fallback instead of deleting the
+    dir out from under a live legacy snapshot."""
+    import json
+    import shutil
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+    # snapshot 2: all-empty replace — files=[], 0-row schema parquet
+    icelite.commit(
+        spark.range(3).selectExpr("id AS v").where("v < 0"),
+        t, round_n=1, mode="replace",
+    )
+    # rewrite snapshot 2 into the legacy on-disk form
+    m = icelite.read_manifest(t, 2)
+    legacy = os.path.join(t, "data", "snap-000002")
+    shutil.move(m["data_dir"], legacy)
+    del m["data_dir"]
+    with open(icelite._manifest_path(t, 2), "w") as f:
+        json.dump(m, f)
+
+    assert icelite.recover(t) == []
+    assert os.path.isdir(legacy)
+    assert icelite.read_snapshot(spark, t).count() == 0

@@ -177,3 +177,15 @@ def test_registry_wide_plan_sweep(spark):
         assert "BatchEvalPython" not in plan, name
         for spec in _window_specs(plan):
             assert "], [], [" not in spec, f"{name}: unpartitioned window: {spec}"
+
+
+def test_langid_quality_is_single_scan_no_join(spark):
+    # lang-ID + quality are per-row expressions over one token array:
+    # the merged entry must be ONE projection over ONE documents scan,
+    # not a doc_id self-join of the two families
+    plan = _plan(spark, "langid_quality_docs")
+    assert "Join" not in plan
+    # formatted explain prints each node twice (tree + details) —
+    # count scans in the tree block only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1

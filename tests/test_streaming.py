@@ -256,3 +256,68 @@ def test_streaming_sink_restarts_after_claim_crash(spark, tmp_path):
     out2 = st.tumbling_counts(st.events_stream(spark, SF))
     st.run_to_icelite(out2, table, os.path.join(tmp, "ckpt2"))
     assert icelite.read_snapshot(spark, table).count() > n
+
+
+def test_zombie_writer_race_does_not_double_append(
+    spark, tmp_path, monkeypatch
+):
+    """The check-then-act window between the epoch guard and the
+    snapshot claim: a racing restart of the SAME checkpoint (zombie
+    driver) that lands the same epoch in between must surface as
+    CommitConflict via the conditional claim (commit_batch conditions
+    its commit on the one pointer read the guard used, so any pointer
+    advance since conflicts), get re-checked, and be swallowed — NOT
+    silently claim the next free snapshot id and double-append."""
+    table = str(tmp_path / "tbl")
+    key = "ckptA"
+    st.commit_batch(_batch_events(spark).limit(10), table, 0, query_key=key)
+    stale_ptr = icelite.latest_pointer(table)
+
+    # W1 (the other restart) lands epoch 1 first
+    st.commit_batch(_batch_events(spark).limit(25), table, 1, query_key=key)
+    n_after_w1 = icelite.read_snapshot(spark, table).count()
+    assert n_after_w1 == 35
+
+    # W2 delivers the SAME epoch 1, but its guard reads the pre-W1
+    # pointer — pin the race by serving the stale pointer to W2's
+    # first (and only pre-claim) pointer read
+    real = icelite.latest_pointer
+    calls = {"n": 0}
+
+    def racy(td):
+        calls["n"] += 1
+        return stale_ptr if calls["n"] == 1 else real(td)
+
+    monkeypatch.setattr(icelite, "latest_pointer", racy)
+    st.commit_batch(_batch_events(spark).limit(25), table, 1, query_key=key)
+    monkeypatch.undo()
+
+    assert icelite.read_snapshot(spark, table).count() == n_after_w1
+    assert icelite.latest_snapshot_id(table) == 2
+
+
+def test_replay_guard_survives_expiry(spark, tmp_path):
+    """An epoch-less maintenance replace at LATEST plus
+    expire_snapshots of the older epoch-bearing manifests must not
+    erase the replay evidence: expiry keeps the newest epoch-bearing
+    manifest per writer, and the guard's fallback is a gap-tolerant
+    manifest SCAN (a parent-chain walk would die on the expired gap
+    and silently re-append the replayed epoch's rows)."""
+    table = str(tmp_path / "tbl")
+    for e in range(3):
+        st.commit_batch(_batch_events(spark).limit(10 * (e + 1)), table, e)
+    n = icelite.read_snapshot(spark, table).count()
+    assert n == 60
+
+    icelite.commit(
+        icelite.read_snapshot(spark, table), table, round_n=50,
+        mode="replace",
+    )
+    gone = icelite.expire_snapshots(table, keep_last=1)
+    assert 3 in gone["kept"]  # the newest epoch-bearing manifest
+    assert st._last_committed_epoch(table) == 2
+
+    st.commit_batch(_batch_events(spark).limit(30), table, 2)  # replay
+    assert icelite.read_snapshot(spark, table).count() == n
+    st.commit_batch(_batch_events(spark).limit(5), table, 3)  # new epoch
+    assert icelite.read_snapshot(spark, table).count() == n + 5

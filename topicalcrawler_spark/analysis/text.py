@@ -33,30 +33,58 @@ def _ratio_for(toks: Column, words: tuple[str, ...]) -> Column:
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)).cast("double"), 6)
 
 
+def _lang_ratio_cols(toks: Column) -> list[Column]:
+    return [
+        _ratio_for(toks, ws).alias(f"{lang}_ratio")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+
+
+def _with_pred_lang(scored: DataFrame) -> DataFrame:
+    """Argmax language over the *_ratio columns (ties and all-zero
+    fall to 'und', first-match-wins on ties in fixed dict order)."""
+    best = F.greatest(*[F.col(f"{lang}_ratio") for lang in LANG_STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:
+        pred = pred.when(F.col(f"{lang}_ratio") == best, F.lit(lang))
+    return scored.withColumn("pred_lang", pred.otherwise(F.lit("und")))
+
+
 def lang_scores(docs: DataFrame) -> DataFrame:
     """Per-doc stopword-hit ratio per language + argmax prediction
     (ties and all-zero fall to 'und'). Output:
     (doc_id, en_ratio, es_ratio, fr_ratio, de_ratio, pred_lang)."""
     toks = tokens_expr("text")
-    out = docs.select(
-        "doc_id",
-        *[
-            _ratio_for(toks, ws).alias(f"{lang}_ratio")
-            for lang, ws in LANG_STOPWORDS.items()
-        ],
-    )
-    best = F.greatest(*[F.col(f"{lang}_ratio") for lang in LANG_STOPWORDS])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_STOPWORDS:  # first-match-wins on ties, fixed order
-        pred = pred.when(F.col(f"{lang}_ratio") == best, F.lit(lang))
-    return out.withColumn("pred_lang", pred.otherwise(F.lit("und")))
+    return _with_pred_lang(docs.select("doc_id", *_lang_ratio_cols(toks)))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features + a composite score:
-    n_tokens, n_distinct, type_token_ratio, mean_token_len,
-    stopword_ratio, quality (0..1-ish). Output keyed by doc_id."""
+def lang_quality_scores(docs: DataFrame) -> DataFrame:
+    """lang_scores + quality_scores in ONE row-local projection —
+    both families are pure per-row expressions over the same token
+    array, so joining their outputs on doc_id (the obvious
+    composition) would cost a second full scan of ``documents`` plus a
+    doc_id exchange for nothing.  Column order matches the join form:
+    (doc_id, *_ratio, pred_lang, n_tokens .. quality)."""
     toks = tokens_expr("text")
+    one = _with_pred_lang(
+        docs.select(
+            "doc_id", *_lang_ratio_cols(toks), *_quality_cols(toks)
+        )
+    )
+    return one.select(
+        "doc_id",
+        *[f"{lang}_ratio" for lang in LANG_STOPWORDS],
+        "pred_lang",
+        "n_tokens",
+        "n_distinct",
+        "type_token_ratio",
+        "mean_token_len",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def _quality_cols(toks: Column) -> list[Column]:
     n_tok = F.size(toks)
     n_dis = F.size(F.array_distinct(toks))
     ttr = F.round(n_dis / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
@@ -74,15 +102,21 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.least(stop * F.lit(10.0), F.lit(1.0)) * 0.2,
         6,
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct"),
         ttr.alias("type_token_ratio"),
         mean_len.alias("mean_token_len"),
         stop.alias("stopword_ratio"),
         quality.alias("quality"),
-    )
+    ]
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score:
+    n_tokens, n_distinct, type_token_ratio, mean_token_len,
+    stopword_ratio, quality (0..1-ish). Output keyed by doc_id."""
+    return docs.select("doc_id", *_quality_cols(tokens_expr("text")))
 
 
 def token_stats(docs: DataFrame) -> DataFrame:

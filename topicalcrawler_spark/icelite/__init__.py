@@ -161,12 +161,16 @@ def _advance_pointer(
     os.replace(ltmp, _latest_path(table_dir))
 
 
+_UNSET = object()
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
     round_n: int,
     meta: dict | None = None,
     mode: str = "replace",
+    expected_parent=_UNSET,
 ) -> int:
     """Write an immutable snapshot of ``df`` and advance the pointer.
 
@@ -180,8 +184,22 @@ def commit(
     snapshot id first (optimistic concurrency — see module docstring);
     this writer's data lands in a unique per-attempt directory, so a
     losing attempt never touches the winner's files.
+
+    ``expected_parent`` (pass ``None`` for "table must be empty")
+    makes the claim CONDITIONAL on the snapshot the caller last read:
+    the commit targets ``expected_parent + 1``, so ANY pointer advance
+    since that read surfaces as ``CommitConflict`` — a compare-and-swap
+    rather than claim-whatever-is-next.  Without it, a caller whose
+    decision to commit depends on table state (the streaming sink's
+    epoch replay guard) has a check-then-act window: a racing writer
+    landing between the check and the claim moves this commit onto a
+    fresh id and it succeeds when it should have conflicted.
     """
-    parent = latest_snapshot_id(table_dir)
+    parent = (
+        latest_snapshot_id(table_dir)
+        if expected_parent is _UNSET
+        else expected_parent
+    )
     snap_id = (parent or 0) + 1
     data_dir = os.path.join(
         table_dir, "data", f"snap-{snap_id:06d}-{secrets.token_hex(4)}"
@@ -377,11 +395,27 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     Returns {"kept": [ids], "deleted_snapshots": [ids],
     "deleted_files": n}.
     """
-    ids = sorted(m["snapshot_id"] for m in history(table_dir))
+    manifests = history(table_dir)
+    ids = sorted(m["snapshot_id"] for m in manifests)
     if not ids:
         return {"kept": [], "deleted_snapshots": [], "deleted_files": 0}
     latest = latest_snapshot_id(table_dir)
     keep = set(ids[-max(keep_last, 1):]) | {latest}
+    # Never expire the streaming sink's replay-guard evidence: keep the
+    # newest EPOCH-BEARING manifest per writer (ckpt key).  Otherwise an
+    # epoch-less maintenance commit at LATEST plus expiry of the older
+    # epoch manifests leaves no record that an epoch ever committed, and
+    # a replayed micro-batch double-appends.  Cost: at most one extra
+    # manifest per writer, gone at its next epoch commit — and for the
+    # append-mode sink its files are a subset of newer manifests anyway.
+    hw: dict = {}
+    for m in manifests:
+        mm = m.get("meta") or {}
+        if mm.get("epoch") is not None and m["snapshot_id"] <= latest:
+            k = mm.get("ckpt")
+            if k not in hw or m["snapshot_id"] > hw[k]:
+                hw[k] = m["snapshot_id"]
+    keep |= set(hw.values())
     drop = [i for i in ids if i not in keep]
     referenced: set[str] = set()
     for i in keep:
@@ -453,8 +487,18 @@ def recover(table_dir: str) -> list[int]:
         removed.append(m["snapshot_id"])
 
     live = history(table_dir)  # post-orphan-removal chain
+    # legacy manifests (pre-data_dir) fall back to the un-suffixed
+    # data/snap-NNNNNN dir — the SAME fallback read_snapshot's empty
+    # branch and expire_snapshots use; sweeping it would break the
+    # schema read of a live legacy empty snapshot
     keep_dirs = {
-        os.path.normpath(m["data_dir"]) for m in live if m.get("data_dir")
+        os.path.normpath(
+            m.get("data_dir")
+            or os.path.join(
+                table_dir, "data", f"snap-{m['snapshot_id']:06d}"
+            )
+        )
+        for m in live
     }
     referenced = {f for m in live for f in m["files"]}
     for d in glob(os.path.join(table_dir, "data", "snap-*")):

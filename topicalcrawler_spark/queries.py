@@ -1453,10 +1453,11 @@ def langid_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality scoring ⊕, merged into one
     same-grain per-doc entry (registry packing — the slot freed funds
     stream_interval_join_events, round-3 verdict #8): stopword-ratio
-    argmax language prediction joined with the length/diversity/
-    stopword composite quality score."""
-    docs = scan(spark, "documents", sf_dir)
-    return tx.lang_scores(docs).join(tx.quality_scores(docs), "doc_id")
+    argmax language prediction + the length/diversity/stopword
+    composite quality score, as ONE row-local projection — a doc_id
+    self-join of the two families would scan documents twice and
+    shuffle for a purely per-row result."""
+    return tx.lang_quality_scores(scan(spark, "documents", sf_dir))
 
 
 _SHINGLES_SQL = (

@@ -284,8 +284,11 @@ def stream_stream_interval_join(
 # ------------------------------------------------------- ST7/ST8 sinks
 
 
+_PTR_UNREAD = object()
+
+
 def _last_committed_epoch(
-    table_dir: str, query_key: str | None = None
+    table_dir: str, query_key: str | None = None, ptr=_PTR_UNREAD
 ) -> int | None:
     """Highest foreachBatch epoch already committed to ``table_dir``
     by the query identified by ``query_key`` (epoch ids are only
@@ -297,11 +300,18 @@ def _last_committed_epoch(
     O(1) fast path: the LATEST pointer's meta (every commit_batch and
     icelite.compact writes it).  When LATEST lacks a matching epoch (a
     maintenance replace commit by some other caller published since),
-    fall back to walking the parent chain for the most recent matching
-    epoch commit — without this, a post-compaction replay would
-    re-append rows the compacted snapshot already contains.  A chain
-    broken by expire_snapshots before any epoch commit returns None
-    (no epoch evidence survives — the caller appends)."""
+    fall back to scanning the SURVIVING manifests newest-first —
+    without this, a post-compaction replay would re-append rows the
+    compacted snapshot already contains.  A scan, not a parent-chain
+    walk: expire_snapshots leaves gaps in the chain, and it always
+    keeps the newest epoch-bearing manifest per writer precisely so
+    this scan finds it.  Manifests above the pointer (unpublished
+    claims of a racing writer) are ignored — a stale answer only makes
+    the caller attempt a commit, which the conditional claim in
+    commit_batch then turns into a CommitConflict + re-check.
+
+    ``ptr`` lets the caller pass the ONE pointer read its commit is
+    conditioned on, so the guard and the claim see the same state."""
 
     def _match(meta: dict) -> int | None:
         e = meta.get("epoch")
@@ -311,22 +321,24 @@ def _last_committed_epoch(
             return None
         return int(e)
 
-    ptr = icelite.latest_pointer(table_dir)
+    if ptr is _PTR_UNREAD:
+        ptr = icelite.latest_pointer(table_dir)
     if ptr is None:
         return None
     e = _match(ptr.get("meta") or {})
     if e is not None:
         return e
-    sid = ptr.get("snapshot_id")
-    while sid is not None:
-        try:
-            m = icelite.read_manifest(table_dir, sid)
-        except FileNotFoundError:
-            return None
+    latest = ptr.get("snapshot_id") or 0
+    for m in sorted(
+        icelite.history(table_dir),
+        key=lambda m: m["snapshot_id"],
+        reverse=True,
+    ):
+        if m["snapshot_id"] > latest:
+            continue
         e = _match(m.get("meta") or {})
         if e is not None:
             return e
-        sid = m.get("parent_id")
     return None
 
 
@@ -346,8 +358,18 @@ def commit_batch(
     the owning checkpoint (see ``_last_committed_epoch``).  A
     ``CommitConflict`` race (another restart of the same checkpoint
     claimed the id first) is re-checked against the committed epochs
-    and swallowed when this epoch landed."""
-    last = _last_committed_epoch(table_dir, query_key)
+    and swallowed when this epoch landed.
+
+    The guard and the commit are tied to ONE pointer read: the commit
+    claims ``parent + 1`` for the snapshot the guard saw
+    (``expected_parent``), so a racing writer landing BETWEEN the
+    epoch check and the claim — the classic check-then-act window —
+    surfaces as CommitConflict and goes through the same re-check,
+    instead of silently claiming the next free id and double-appending
+    the epoch."""
+    ptr = icelite.latest_pointer(table_dir)
+    parent = ptr.get("snapshot_id") if ptr is not None else None
+    last = _last_committed_epoch(table_dir, query_key, ptr=ptr)
     if last is not None and last >= int(epoch_id):
         # Replayed epoch — its snapshot already committed.  Still run
         # one no-op pass over the batch: Spark 4's state-store commit
@@ -366,6 +388,7 @@ def commit_batch(
             round_n=int(epoch_id),
             meta=meta,
             mode="append",
+            expected_parent=parent,
         )
     except icelite.CommitConflict:
         last = _last_committed_epoch(table_dir, query_key)
