@@ -355,3 +355,26 @@ def test_recover_keeps_legacy_empty_snapshot_dir(spark, tmp_path):
     assert icelite.recover(t) == []
     assert os.path.isdir(legacy)
     assert icelite.read_snapshot(spark, t).count() == 0
+
+
+def test_expire_on_pointerless_claim_crash_is_noop(tmp_path):
+    """Crash window: a manifest was claimed but no pointer was ever
+    published (empty table, first commit died mid-flight).  Maintenance
+    running before recover() must treat the claim as not-yet-committed
+    — neither crash (the old keep-set held None and read_manifest(None)
+    raised) nor count it as replay evidence — and recover() then
+    reclaims it."""
+    t = str(tmp_path / "tbl")
+    icelite._claim_manifest(
+        {"snapshot_id": 1, "parent_id": None, "files": [], "row_count": 0,
+         "round": 0, "meta": {"epoch": 7}, "data_dir": os.path.join(t, "na")},
+        icelite._manifest_path(t, 1),
+    )
+    out = icelite.expire_snapshots(t, keep_last=1)
+    assert out["deleted_snapshots"] == []
+
+    from topicalcrawler_spark.streaming import _last_committed_epoch
+    assert _last_committed_epoch(t) is None  # unpublished != committed
+
+    assert icelite.recover(t) == [1]
+    assert icelite.latest_snapshot_id(t) is None

@@ -141,9 +141,13 @@ class IceliteMachine(RuleBasedStateMachine):
             assert removed, "recover() must reclaim the orphan claim"
         self.orphan = False
 
-    @precondition(lambda self: not self.orphan and self.latest is not None)
     @rule(keep=hst.integers(1, 3))
     def expire(self, keep):
+        # deliberately allowed in every state, including the
+        # claim-crash window (orphan pending, even with no pointer
+        # published yet): maintenance must never corrupt or crash —
+        # the orphan has the highest id so expiry always keeps it for
+        # recover() to reclaim
         icelite.expire_snapshots(self.t, keep_last=keep)
 
     # ---------------------------------------------------- invariants

@@ -400,7 +400,9 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     if not ids:
         return {"kept": [], "deleted_snapshots": [], "deleted_files": 0}
     latest = latest_snapshot_id(table_dir)
-    keep = set(ids[-max(keep_last, 1):]) | {latest}
+    keep = set(ids[-max(keep_last, 1):])
+    if latest is not None:
+        keep.add(latest)
     # Never expire the streaming sink's replay-guard evidence: keep the
     # newest EPOCH-BEARING manifest per writer (ckpt key).  Otherwise an
     # epoch-less maintenance commit at LATEST plus expiry of the older
@@ -411,7 +413,10 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     hw: dict = {}
     for m in manifests:
         mm = m.get("meta") or {}
-        if mm.get("epoch") is not None and m["snapshot_id"] <= latest:
+        # latest None = crash window before any pointer publish; every
+        # manifest is then an unpublished claim (recover() debris), so
+        # none is replay evidence
+        if mm.get("epoch") is not None and m["snapshot_id"] <= (latest or 0):
             k = mm.get("ckpt")
             if k not in hw or m["snapshot_id"] > hw[k]:
                 hw[k] = m["snapshot_id"]
