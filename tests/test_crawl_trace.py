@@ -551,3 +551,113 @@ def test_round_failure_releases_all_round_caches(spark, tmp_path, monkeypatch):
     # and a clean re-run of the failed round still nets zero new caches
     crawl_round(spark, cfg, 2)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
+
+
+def test_crash_between_init_commits_then_resume(spark, tmp_path, monkeypatch):
+    """Round-4 review finding: init_crawl is TWO commits (frontier,
+    seen); a crash between them left a pointerless seen table that made
+    every later _snap_as_of read raise TypeError — resume() could never
+    recover, contradicting its any-crash-point contract.  Both repair
+    paths are pinned: resume() recomputes the derived seen0 from the
+    committed frontier, and re-running init_crawl is idempotent."""
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import init_crawl, resume
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"))
+
+    real_commit = icelite.commit
+
+    def crashing(df, table_dir, round_n, *a, **kw):
+        if table_dir.endswith(os.sep + "seen"):
+            raise RuntimeError("crash between init's two commits")
+        return real_commit(df, table_dir, round_n, *a, **kw)
+
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(RuntimeError):
+        init_crawl(spark, cfg, seeds_path)
+    monkeypatch.undo()
+    assert icelite.latest_snapshot_id(cfg.table("frontier")) == 1
+    assert icelite.latest_snapshot_id(cfg.table("seen")) is None
+
+    # repair path 1: resume() finishes the init, then crawls
+    resume(spark, cfg, 2)
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace, oseen = _oracle_crawl(2)
+    assert strace == otrace
+    assert sseen == oseen
+
+    # repair path 2: re-running init_crawl on a fresh half-init is
+    # idempotent (fresh root, same crash, then a clean re-init)
+    cfg2 = CrawlConfig(root=str(tmp_path / "crawl2"))
+    monkeypatch.setattr(icelite, "commit", crashing)
+    with pytest.raises(RuntimeError):
+        init_crawl(spark, cfg2, seeds_path)
+    monkeypatch.undo()
+    init_crawl(spark, cfg2, seeds_path)
+    assert icelite.latest_snapshot_id(cfg2.table("frontier")) == 1  # no dup
+    f0 = icelite.read_snapshot(spark, cfg2.table("frontier")).count()
+    assert icelite.read_snapshot(spark, cfg2.table("seen")).count() == f0
+
+
+def test_bloom_generations_swept_and_frontier_rerun_guarded(
+    spark, tmp_path, monkeypatch
+):
+    """Two round-4 review findings:
+    (a) stale bloom shard-file generations (crash debris, pre-restart
+        dirs with no in-memory build record) leak — a full rebuild now
+        sweeps every other round-* dir, and resume() clears the table;
+    (b) the replace-mode frontier commit was the only per-round commit
+        without a crash-re-run guard — a re-run must not stack a
+        redundant same-round snapshot."""
+    import glob as _glob
+
+    from topicalcrawler_spark import icelite
+    from topicalcrawler_spark.plans.round import (
+        crawl_round, init_crawl,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(
+        root=str(tmp_path / "crawl"), use_bloom=True, bloom_min_keys=0,
+        bloom_file_min_keys=0,
+    )
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+    bloom_dirs = _glob.glob(os.path.join(cfg.table("bloom"), "round-*"))
+    assert len(bloom_dirs) == 1
+
+    # simulated restart: the in-memory build record is gone and a
+    # crashed write left a debris generation on disk
+    os.makedirs(os.path.join(cfg.table("bloom"), "round-000099"))
+    cfg._dims.pop("bloom", None)
+    crawl_round(spark, cfg, 2)
+    bloom_dirs = _glob.glob(os.path.join(cfg.table("bloom"), "round-*"))
+    assert len(bloom_dirs) == 1  # full rebuild swept ALL other gens
+
+    # (b) crash right after the frontier replace commit (lineage not
+    # yet committed), then re-run: the frontier snapshot id must not
+    # advance — the guard skips the redundant O(frontier) rewrite
+    real_commit = icelite.commit
+
+    def crash_lineage(df, table_dir, round_n, *a, **kw):
+        if table_dir.endswith(os.sep + "lineage") and round_n == 3:
+            raise RuntimeError("crash after frontier commit")
+        return real_commit(df, table_dir, round_n, *a, **kw)
+
+    monkeypatch.setattr(icelite, "commit", crash_lineage)
+    with pytest.raises(RuntimeError):
+        crawl_round(spark, cfg, 3)
+    monkeypatch.undo()
+    snap_after_crash = icelite.latest_snapshot_id(cfg.table("frontier"))
+    stats = crawl_round(spark, cfg, 3)  # clean re-run
+    assert (
+        icelite.latest_snapshot_id(cfg.table("frontier")) == snap_after_crash
+    )
+    assert stats["round"] == 3

@@ -138,7 +138,8 @@ def test_no_unpartitioned_window_in_trace_plan(spark):
         (F.col("id") % 3).cast("int").alias("depth"),
         F.lit("2026-02-01 00:00:00").cast("timestamp").alias("discovery_time"),
     )
-    df = global_fetch_order(frontier, partitions=8)
+    caches: list = []
+    df = global_fetch_order(frontier, caches, partitions=8)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
@@ -154,6 +155,8 @@ def test_no_unpartitioned_window_in_trace_plan(spark):
         for r in rows
     ]
     assert keys == sorted(keys)
+    for c in caches:
+        c.unpersist()
 
 
 def test_registry_wide_plan_sweep(spark):

@@ -58,8 +58,8 @@ def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> D
 
 def global_fetch_order(
     selected: DataFrame,
+    cache_registry: list,
     partitions: int | None = None,
-    cache_registry: list | None = None,
 ) -> DataFrame:
     """O1 — total fetch order within a round; trace_seq is the rank.
 
@@ -85,11 +85,13 @@ def global_fetch_order(
     first; the selected set is politeness-budget-bounded, and every
     point of this plan is O(rows/partitions) per task.
 
-    ``cache_registry``: the internally persisted ranged layout is
-    appended here so the CALLER can unpersist it once the result is
-    materialized (one round's trace commit).  Without it, one
-    CacheManager entry per round would leak for the life of a long
-    crawl (round-3 ADVICE).
+    ``cache_registry`` (required): the internally persisted ranged
+    layout is appended here so the CALLER can unpersist it once the
+    result is materialized (one round's trace commit).  Required, not
+    optional — persist() registers a CacheManager entry at call time,
+    so any call site that "didn't care" would leak one entry per call,
+    which is exactly the per-round leak the registry was introduced to
+    fix (round-3 ADVICE).
     """
     spark = selected.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
@@ -106,8 +108,7 @@ def global_fetch_order(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    if cache_registry is not None:
-        cache_registry.append(ranged)
+    cache_registry.append(ranged)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = (
         counts.alias("a")

@@ -25,6 +25,7 @@ discovery_time = T0 + round seconds (deterministic, not wall-clock).
 from __future__ import annotations
 
 import os
+import secrets
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -187,14 +188,35 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
         cfg.n_shards, "url_hash"
     )
     frontier0 = frontier0.cache()
-    icelite.commit(frontier0, cfg.table("frontier"), 0, mode="replace")
+    try:
+        # idempotent, same discipline as crawl_round's commits: init is
+        # TWO commits, and a crash between them must be repairable —
+        # by re-running init_crawl OR by resume() (both funnel the
+        # second commit through _ensure_seen_initialized)
+        if not _round_committed(cfg.table("frontier"), 0):
+            icelite.commit(frontier0, cfg.table("frontier"), 0,
+                           mode="replace")
+        _ensure_seen_initialized(spark, cfg)
+    finally:
+        frontier0.unpersist()
+
+
+def _ensure_seen_initialized(spark: SparkSession, cfg: CrawlConfig) -> None:
+    """Finish a half-done init.  The seen table's round-0 commit is
+    DERIVED from the frontier's (seen0 = frontier0's url keys), so a
+    crash between init_crawl's two commits is repaired by recomputing
+    it from the committed frontier snapshot — without this, the first
+    _snap_as_of read of a pointerless seen table made resume() raise
+    instead of recover (round-4 review finding)."""
+    if _round_committed(cfg.table("seen"), 0):
+        return
+    f0 = icelite.read_snapshot(
+        spark, cfg.table("frontier"), _snap_as_of(cfg.table("frontier"), 0)
+    )
     icelite.commit(
-        frontier0.select("url_canon", "url_hash"),
-        cfg.table("seen"),
-        0,
+        f0.select("url_canon", "url_hash"), cfg.table("seen"), 0,
         mode="replace",
     )
-    frontier0.unpersist()
 
 
 def _latest_round(table_dir: str) -> tuple[int | None, int | None, dict]:
@@ -395,8 +417,14 @@ def _crawl_round_impl(
     # next_data_dir (unique per attempt) would only plant a debris data
     # dir for recover() to sweep; the scratch dir is deleted right here.
     corpus_done = _round_committed(cfg.table("corpus"), round_n)
+    # per-attempt suffix, same isolation contract as next_data_dir: two
+    # racing re-runs of the same round must not overwrite/rmtree a
+    # scratch dir the other is still lazily reading `fetched` from
+    # (resume()'s _refetch-* sweep still matches)
     fetch_dir = (
-        os.path.join(cfg.root, f"_refetch-{round_n:06d}")
+        os.path.join(
+            cfg.root, f"_refetch-{round_n:06d}-{secrets.token_hex(4)}"
+        )
         if corpus_done
         else icelite.next_data_dir(cfg.table("corpus"))
     )
@@ -645,8 +673,17 @@ def _crawl_round_impl(
                     seen, shard_dir, cfg.n_shards, cfg.bloom_fpp,
                     total=n_seen,
                 )
-                if bst and bst.get("dir") not in (None, shard_dir):
-                    shutil.rmtree(bst["dir"], ignore_errors=True)
+                # sweep EVERY other generation, not just the in-memory
+                # bst pointer: crash debris and pre-restart dirs have
+                # no bst record but are equally superseded by this
+                # full rebuild (multi-GB each at the design point)
+                import glob as _glob
+
+                for d in _glob.glob(
+                    os.path.join(cfg.table("bloom"), "round-*")
+                ):
+                    if os.path.normpath(d) != os.path.normpath(shard_dir):
+                        shutil.rmtree(d, ignore_errors=True)
                 bst = {
                     "mode": "file", "dir": shard_dir, "k": k,
                     "n_bits": n_bits, "capacity": int(n_seen * 1.5),
@@ -802,9 +839,22 @@ def _crawl_round_impl(
         new_frontier = residual.unionByName(new_links).repartitionByRange(
             cfg.n_shards, "url_hash"
         )
-        frontier_snap = icelite.commit(
-            new_frontier, cfg.table("frontier"), round_n, mode="replace"
-        )
+        # same crash-re-run guard as every other per-round commit: the
+        # content would be identical (pinned reads), but an unguarded
+        # re-run wastes an O(frontier) rewrite and stacks a redundant
+        # same-round snapshot whose superseded files replace mode never
+        # expires
+        if not _round_committed(cfg.table("frontier"), round_n):
+            frontier_snap = icelite.commit(
+                new_frontier, cfg.table("frontier"), round_n, mode="replace"
+            )
+            # replace mode rewrites the whole frontier each round, so
+            # without expiry storage grows O(rounds x frontier);
+            # keep_last=3 preserves the r-1 snapshot crash re-runs pin
+            # (same policy as the seen table and the LSM branch)
+            icelite.expire_snapshots(cfg.table("frontier"), keep_last=3)
+        else:
+            frontier_snap = icelite.latest_snapshot_id(cfg.table("frontier"))
     mark("frontier")
 
     # lineage: per-partition fetch metrics + a round-total row (S7)
@@ -884,9 +934,20 @@ def resume(spark: SparkSession, cfg: CrawlConfig, rounds: int) -> list[dict]:
     for t in ("frontier", "seen", "corpus", "trace", "lineage", "fetched"):
         if os.path.isdir(cfg.table(t)):
             icelite.recover(cfg.table(t))
-    last = icelite.read_manifest(
-        cfg.table("frontier"), icelite.latest_snapshot_id(cfg.table("frontier"))
-    )["round"]
+    # bloom bitmaps are DERIVED state keyed to an in-memory build record
+    # (cfg._dims) that did not survive the restart — the next bloom
+    # round full-rebuilds regardless, so stale round-* dirs (multi-GB at
+    # the design point) would otherwise leak one generation per restart
+    shutil.rmtree(cfg.table("bloom"), ignore_errors=True)
+    head = icelite.latest_snapshot_id(cfg.table("frontier"))
+    if head is None:
+        raise RuntimeError(
+            "resume: no committed frontier snapshot — the crawl crashed "
+            "before init_crawl's first commit; re-run init_crawl"
+        )
+    # repair the one init crash window (frontier committed, seen not)
+    _ensure_seen_initialized(spark, cfg)
+    last = icelite.read_manifest(cfg.table("frontier"), head)["round"]
     return [crawl_round(spark, cfg, r) for r in range(last + 1, last + 1 + rounds)]
 
 
