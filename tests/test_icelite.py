@@ -378,3 +378,131 @@ def test_expire_on_pointerless_claim_crash_is_noop(tmp_path):
 
     assert icelite.recover(t) == [1]
     assert icelite.latest_snapshot_id(t) is None
+
+
+def test_compact_conflicts_when_commit_lands_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """Round-4 review finding: compact() read the table, then committed
+    replace-mode with no expected parent — a writer landing in between
+    was silently DROPPED from LATEST (replace contains only the rows
+    compact read; no conflict raised).  compact now CASes on the one
+    pointer read that pinned its input, so the race surfaces as
+    CommitConflict and nothing is lost."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(10).selectExpr("id AS v"), t, round_n=0)
+    stale_ptr = icelite.latest_pointer(t)
+    # a writer lands between compact's pointer read and its commit
+    icelite.commit(
+        spark.range(5).selectExpr("id + 100 AS v"), t, round_n=1,
+        mode="append",
+    )
+
+    real = icelite.latest_pointer
+    calls = {"n": 0}
+
+    def racy(td):
+        calls["n"] += 1
+        return stale_ptr if calls["n"] == 1 else real(td)
+
+    monkeypatch.setattr(icelite, "latest_pointer", racy)
+    with pytest.raises(icelite.CommitConflict):
+        icelite.compact(spark, t, round_n=2, target_files=1)
+    monkeypatch.undo()
+
+    # nothing lost: the mid-flight writer's rows are still in LATEST
+    assert icelite.read_snapshot(spark, t).count() == 15
+    # and a clean retry compacts everything
+    icelite.compact(spark, t, round_n=2, target_files=1)
+    assert icelite.read_snapshot(spark, t).count() == 15
+
+
+def test_advance_pointer_refuses_reclaimed_claim(spark, tmp_path):
+    """A zombie writer whose claimed manifest was swept by a concurrent
+    recover() must fail its publish (CommitConflict) rather than point
+    LATEST at a deleted manifest and brick every reader."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+    # the zombie's claim, reclaimed before its publish
+    mp = icelite._manifest_path(t, 2)
+    icelite._claim_manifest(
+        {"snapshot_id": 2, "parent_id": 1, "files": [], "row_count": 0,
+         "round": 1, "meta": {}, "data_dir": os.path.join(t, "na")},
+        mp,
+    )
+    os.remove(mp)  # what recover() does to an orphan
+    with pytest.raises(icelite.CommitConflict):
+        icelite._advance_pointer(t, 2, 1, None)
+    assert icelite.latest_snapshot_id(t) == 1
+    assert icelite.read_snapshot(spark, t).count() == 3
+
+
+def test_recover_grace_spares_fresh_claims_and_debris(spark, tmp_path):
+    """recover(min_age_s=N) must leave claims/debris younger than N
+    untouched (they may be a live zombie mid-commit) while still
+    reclaiming backdated ones — the streaming sink's restart contract."""
+    import time as _time
+
+    t = str(tmp_path / "tbl")
+    icelite.commit(spark.range(3).selectExpr("id AS v"), t, round_n=0)
+    mp = icelite._manifest_path(t, 2)
+    icelite._claim_manifest(
+        {"snapshot_id": 2, "parent_id": 1, "files": [], "row_count": 0,
+         "round": 1, "meta": {}, "data_dir": os.path.join(t, "na")},
+        mp,
+    )
+    fresh_dir = icelite.next_data_dir(t)
+    spark.range(2).selectExpr("id AS v").write.parquet(fresh_dir)
+
+    assert icelite.recover(t, min_age_s=60.0) == []  # both too fresh
+    assert os.path.exists(mp)
+    assert os.path.isdir(fresh_dir)
+
+    old = _time.time() - 120
+    os.utime(mp, (old, old))
+    os.utime(fresh_dir, (old, old))
+    assert icelite.recover(t, min_age_s=60.0) == [2]
+    assert not os.path.exists(mp)
+    assert not os.path.isdir(fresh_dir)
+
+
+def test_commit_files_carries_stats(spark, tmp_path):
+    """The zero-copy path must harvest footer url_hash stats exactly
+    like commit(): file_hash_index requires EVERY file in the snapshot
+    to carry stats, so one stats-less commit_files on a stats-bearing
+    chain would silently demote the file-probed anti-join to its
+    shuffle fallback for the rest of the table's life."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "seen")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.concat(F.lit("http://h.test/p/"), F.col("id")).alias(
+                "url_canon"
+            ),
+        )
+
+    icelite.commit(batch(0, 500), t, round_n=0)
+    assert icelite.file_hash_index(t) is not None
+
+    # zero-copy append: files written directly, registered by metadata
+    d = icelite.next_data_dir(t)
+    batch(500, 800).repartition(2).write.parquet(d)
+    n = spark.read.parquet(d).count()
+    icelite.commit_files(t, d, round_n=1, row_count=n)
+
+    idx = icelite.file_hash_index(t)
+    assert idx is not None, "commit_files dropped footer stats"
+    # index covers BOTH the commit()'d and the commit_files'd files
+    head = icelite.read_manifest(t, icelite.latest_snapshot_id(t))
+    assert len(idx) == len(head["files"])
+    rows = icelite.read_snapshot(spark, t).select("url_hash").collect()
+    lo = min(f[1] for f in idx)
+    hi = max(f[2] for f in idx)
+    assert all(lo <= r["url_hash"] <= hi for r in rows)

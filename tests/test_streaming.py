@@ -237,14 +237,23 @@ def test_streaming_sink_restarts_after_claim_crash(spark, tmp_path):
     n = icelite.read_snapshot(spark, table).count()
     assert n > 0
 
-    # simulate the crash window: a claimed-but-unpublished manifest
+    # simulate the crash window: a claimed-but-unpublished manifest.
+    # Backdate it past run_to_icelite's zombie-writer grace window —
+    # by the time an orchestrator restarts a crashed query the claim
+    # is old; a FRESH claim is deliberately left alone (it may be a
+    # live zombie mid-commit).
     orphan_id = icelite.latest_snapshot_id(table) + 1
+    orphan_path = icelite._manifest_path(table, orphan_id)
     icelite._claim_manifest(
         {"snapshot_id": orphan_id, "parent_id": orphan_id - 1, "files": [],
          "row_count": 0, "round": 0, "meta": {},
          "data_dir": os.path.join(table, "data", "na")},
-        icelite._manifest_path(table, orphan_id),
+        orphan_path,
     )
+    import time as _time
+
+    old = _time.time() - 120
+    os.utime(orphan_path, (old, old))
     # a bare commit_batch of a NEW epoch hits the orphan and raises
     with pytest.raises(icelite.CommitConflict):
         st.commit_batch(_batch_events(spark).limit(5), table, 10_000)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import hash60_expr, tokens_expr
+from .hashing import chunk_explode, hash60_expr, tokens_expr
 
 NUM_PERM = 64
 SIMHASH_BITS = 60
@@ -43,9 +43,17 @@ CHUNK_MASK = (1 << CHUNK_BITS) - 1
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup groups: one row per distinct text, with the keeper
-    (min doc_id) and copy count. Output: (text_hash, keeper, n_copies)."""
+    (min doc_id) and copy count. Output: (text_hash, keeper, n_copies).
+
+    NULL text (fetch/extract failures) is NOT a duplicate class:
+    md5(NULL) is NULL and an unguarded groupBy would cluster every
+    such doc into one group, silently dropping real distinct documents
+    behind a keeper.  Each NULL-text doc gets its own singleton key."""
+    key = F.when(
+        F.col("text").isNotNull(), F.md5("text")
+    ).otherwise(F.concat(F.lit("null:"), F.col("doc_id").cast("string")))
     return (
-        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        docs.select(key.alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("keeper"),
@@ -338,12 +346,22 @@ def connected_components(
             break
     sym.unpersist()
     if not converged:
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations — a component chain exceeds max_iter hops; "
             "raise max_iter or use connected_components_star"
         )
-    return labels.select(F.col("v").alias(id_col), "comp")
+    # hand the result over OFF the CacheManager: localCheckpoint blocks
+    # are GC-scoped (freed when the returned DataFrame becomes
+    # unreachable), whereas the loop's final cache() entry would
+    # otherwise leak per call for the life of the session — the same
+    # discipline connected_components_star already follows
+    out = labels.select(F.col("v").alias(id_col), "comp").localCheckpoint(
+        eager=True
+    )
+    labels.unpersist()
+    return out
 
 
 def connected_components_star(
@@ -451,20 +469,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     pigeonhole chunk-band join (requires max_hamming < SIMHASH_CHUNKS).
     Output: (doc_a, doc_b, hamming)."""
     assert max_hamming < SIMHASH_CHUNKS, "pigeonhole bound violated"
-    sh = simhash(docs)
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"shiftright(simhash, {c * CHUNK_BITS}) % {CHUNK_MASK + 1}"
-                    )
-                    for c in range(SIMHASH_CHUNKS)
-                ]
-            )
-        ).alias("c", "chunk"),
+    chunks = chunk_explode(
+        simhash(docs), "simhash", "doc_id", SIMHASH_CHUNKS, CHUNK_BITS
     )
     return (
         chunks.alias("a")

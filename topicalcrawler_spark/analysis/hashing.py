@@ -62,3 +62,32 @@ def shingles_sql(text: str, n: int = 3) -> str:
         f"list_transform(range(0, greatest(len({toks})-{n - 1}, 0)), "
         f"i -> array_to_string(({toks})[i+1:i+{n}], ' '))"
     )
+
+
+def chunk_explode(
+    df, sig_col: str, id_col: str, n_chunks: int, chunk_bits: int
+):
+    """Pigeonhole banding: explode a packed int signature into its
+    ``n_chunks`` bit-chunks as (c, chunk) rows.  Two signatures within
+    hamming < n_chunks must agree on at least one chunk (pigeonhole),
+    so an equi-join on (c, chunk) is a LOSSLESS candidate generator.
+    The one banding implementation shared by the SimHash
+    (analysis.dedup.simhash_pairs) and sign-LSH
+    (analysis.similarity.lsh_topk) paths — two hand-copied variants
+    could silently drift on the shift/mask math."""
+    mask_plus1 = 1 << chunk_bits
+    return df.select(
+        id_col,
+        sig_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright({sig_col}, {c * chunk_bits})"
+                        f" % {mask_plus1}"
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c", "chunk"),
+    )

@@ -8,8 +8,8 @@
   batch (vectorized pandas UDF, no per-row Python); candidates bucket
   on signature bands, exact cosine re-ranks survivors.
 - ivf_build / ivf_topk: IVF variant — Lloyd-iteration centroids built
-  with DataFrame ops (posexplode + groupBy avg), probe the nprobe
-  nearest cells only.
+  with DataFrame ops (posexplode + fixed-point groupBy mean, order-
+  independent by construction), probe the nprobe nearest cells only.
 
 Determinism: all floating math that an oracle checks is done in double
 precision with a fixed left-to-right fold (F.aggregate), then rounded
@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .hashing import chunk_explode
+
 LSH_SEED = 42
 
 
@@ -51,6 +53,49 @@ def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
     return emb.withColumn("norm", _norm_expr(F.col(col)))
 
 
+def _with_qnorm(queries: DataFrame) -> DataFrame:
+    """Precompute the query-side norm ONCE per query before the
+    broadcast — inlining _norm_expr(qvec) into the pair-scoring
+    expression would re-run the O(dim) fold once per (corpus x query)
+    row on the hottest path.  Same expression on the same values, so
+    scores are bit-identical."""
+    return queries.withColumn("qnorm", _norm_expr(F.col("qvec")))
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Vector → its ``nprobe`` nearest centroid cells by L2
+    (deterministic tie-break on cell id).  Returns the input columns
+    plus ``cell``.  The ONE assignment implementation shared by
+    ivf_build / ivf_topk / ivf_neardup — three hand-copied variants
+    could silently drift apart on a tie-break or distance change.
+    ``df`` must not already carry a ``cell`` column."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            "centroid",
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .drop("_d2", "_rn", "centroid")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -64,13 +109,13 @@ def cosine_topk(
     """
     base = with_norm(emb).select("vec_id", "embedding", "norm")
     scored = (
-        base.crossJoin(F.broadcast(queries))
+        base.crossJoin(F.broadcast(_with_qnorm(queries)))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(
                 _dot_expr(F.col("embedding"), F.col("qvec"))
-                / (F.col("norm") * _norm_expr(F.col("qvec"))),
+                / (F.col("norm") * F.col("qnorm")),
                 6,
             ),
         )
@@ -127,24 +172,10 @@ def ivf_neardup(
     members share none of their nprobe cells; raising nprobe trades
     compute for recall.  Output: (vec_a, vec_b, cosine) like the exact
     operator."""
-    assigned = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2",
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                "centroid",
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    cells = (
-        assigned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "cell")
-    )
+    cells = _assign_cells(
+        emb.select("vec_id", "embedding"), centroids,
+        "embedding", "vec_id", nprobe=nprobe,
+    ).select("vec_id", "cell")
     cands = (
         cells.alias("a")
         .join(cells.alias("b"), "cell")
@@ -231,7 +262,6 @@ def lsh_topk(
     """
     n_chunks = max_hamming + 1
     chunk_bits = nbits // n_chunks
-    mask = (1 << chunk_bits) - 1
 
     sigs = lsh_signatures(emb, dim=dim, nbits=nbits)
     qsigs = lsh_signatures(
@@ -240,25 +270,12 @@ def lsh_topk(
         dim=dim, nbits=nbits,
     ).select(F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"))
 
-    def chunked(df, sig_col, id_col):
-        return df.select(
-            id_col,
-            sig_col,
-            F.posexplode(
-                F.array(
-                    *[
-                        F.expr(
-                            f"shiftright({sig_col}, {c * chunk_bits}) % {mask + 1}"
-                        )
-                        for c in range(n_chunks)
-                    ]
-                )
-            ).alias("c", "chunk"),
-        )
-
     cands = (
-        chunked(sigs, "sig", "vec_id")
-        .join(chunked(qsigs, "qsig", "query_id"), ["c", "chunk"])
+        chunk_explode(sigs, "sig", "vec_id", n_chunks, chunk_bits)
+        .join(
+            chunk_explode(qsigs, "qsig", "query_id", n_chunks, chunk_bits),
+            ["c", "chunk"],
+        )
         .filter(
             (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_hamming)
             & (F.col("vec_id") != F.col("query_id"))
@@ -269,12 +286,12 @@ def lsh_topk(
     base = with_norm(emb).select("vec_id", "embedding", "norm")
     scored = (
         cands.join(base, "vec_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(_with_qnorm(queries)), "query_id")
         .withColumn(
             "cosine",
             F.round(
                 _dot_expr("embedding", "qvec")
-                / (F.col("norm") * _norm_expr(F.col("qvec"))),
+                / (F.col("norm") * F.col("qnorm")),
                 6,
             ),
         )
@@ -286,6 +303,30 @@ def lsh_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+_FXP = 1 << 20  # fixed-point scale for order-independent centroid sums
+
+
+def _cell_centroids(assigned: DataFrame, vec_col: str = "e") -> DataFrame:
+    """Element-wise cell means with ORDER-INDEPENDENT arithmetic: each
+    coordinate is scaled to fixed-point int64 before the sum, so
+    partial-aggregate merge order can never perturb the result (float
+    addition is not associative — under F.avg a last-ulp wobble in a
+    centroid could flip a near-tie cell assignment and make the whole
+    index run-order-dependent, violating the module's determinism
+    contract).  2^-20 precision per element is ample for a coarse
+    quantizer — exact cosine re-ranks everything downstream — and an
+    int64 sum holds ~4e12 rows per cell before overflow."""
+    return (
+        assigned.select("cell", F.posexplode(vec_col).alias("i", "v"))
+        .withColumn("vq", F.round(F.col("v") * _FXP).cast("long"))
+        .groupBy("cell", "i")
+        .agg((F.sum("vq") / F.count("*") / F.lit(float(_FXP))).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
     )
 
 
@@ -301,44 +342,11 @@ def ivf_build(
         (F.col("vec_id") % n_cells).cast("int").alias("cell"),
     )
     for _ in range(iters):
-        cents = (
-            assigned.select("cell", F.posexplode("e").alias("i", "v"))
-            .groupBy("cell", "i")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("i", "m"))
-                ).alias("im")
-            )
-            .select(
-                "cell", F.expr("transform(im, x -> x.m)").alias("centroid")
-            )
-        )
-        dists = assigned.crossJoin(
-            F.broadcast(cents.select(F.col("cell").alias("c2"), "centroid"))
-        ).withColumn(
-            "d2",
-            F.aggregate(
-                F.zip_with("e", "centroid", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c2").asc())
-        assigned = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "e", F.col("c2").alias("cell"))
-        )
-    return (
-        assigned.select("cell", F.posexplode("e").alias("i", "v"))
-        .groupBy("cell", "i")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
-        .select("cell", F.expr("transform(im, x -> x.m)").alias("centroid"))
-    )
+        cents = _cell_centroids(assigned)
+        assigned = _assign_cells(
+            assigned.select("vec_id", "e"), cents, "e", "vec_id"
+        ).select("vec_id", "e", "cell")
+    return _cell_centroids(assigned)
 
 
 def ivf_topk(
@@ -350,49 +358,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: assign corpus to nearest centroid, probe the nprobe
     nearest cells per query, exact cosine within probed cells."""
-    assigned = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2",
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                "centroid",
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    corpus_cells = (
-        assigned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    qcells = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "d2",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec").cast("array<double>"),
-                    "centroid",
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+    corpus_cells = with_norm(
+        _assign_cells(
+            emb.select("vec_id", "embedding"), centroids,
+            "embedding", "vec_id",
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("d2").asc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cell")
-    )
+    ).select("vec_id", "embedding", "norm", "cell")
+    qcells = _assign_cells(
+        _with_qnorm(queries.select("query_id", "qvec")), centroids,
+        "qvec", "query_id", nprobe=nprobe,
+    ).select("query_id", "qvec", "qnorm", "cell")
     scored = (
         corpus_cells.join(qcells, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -400,7 +375,7 @@ def ivf_topk(
             "cosine",
             F.round(
                 _dot_expr("embedding", "qvec")
-                / (_norm_expr(F.col("embedding")) * _norm_expr(F.col("qvec"))),
+                / (F.col("norm") * F.col("qnorm")),
                 6,
             ),
         )

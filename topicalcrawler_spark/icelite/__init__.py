@@ -150,6 +150,16 @@ def _advance_pointer(
     cur = latest_snapshot_id(table_dir)
     if cur is not None and cur >= snap_id:
         return
+    if not os.path.exists(_manifest_path(table_dir, snap_id)):
+        # A concurrent recover() reclaimed this claim as an orphan (a
+        # zombie writer losing the ownership race).  Publishing would
+        # point LATEST at a deleted manifest and brick every reader;
+        # fail THIS writer instead — its rows were already swept.
+        raise CommitConflict(
+            f"snapshot {snap_id} was reclaimed by recover() before "
+            "publish — a concurrent writer took ownership of "
+            f"{table_dir}"
+        )
     ltmp = _latest_path(table_dir) + f".tmp-{secrets.token_hex(4)}"
     with open(ltmp, "w") as f:
         # round/meta ride along so round-guard reads (_round_committed,
@@ -297,11 +307,22 @@ def commit_files(
     parent = latest_snapshot_id(table_dir)
     snap_id = (parent or 0) + 1
     files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
+    # footer stats, same loop as commit(): without them one
+    # commit_files on a stats-bearing chain would permanently disable
+    # file_hash_index (it requires EVERY file to carry stats), silently
+    # demoting the zero-shuffle file-probed anti-join to the shuffle
+    # fallback for the rest of the table's life
+    file_stats: dict[str, list[int]] = {}
+    for f in files:
+        st = _url_hash_stats(pq.ParquetFile(f).metadata)
+        if st is not None:
+            file_stats[f] = st
     if mode == "append" and parent is not None:
         pm = read_manifest(table_dir, parent)
         files = pm["files"] + files
         row_count += pm["row_count"]
         meta = meta or pm.get("meta")
+        file_stats = {**pm.get("file_stats", {}), **file_stats}
 
     manifest = {
         "snapshot_id": snap_id,
@@ -310,6 +331,7 @@ def commit_files(
         "row_count": row_count,
         "round": round_n,
         "meta": meta or {},
+        "file_stats": file_stats,
         "data_dir": data_dir,
     }
     _claim_manifest(manifest, _manifest_path(table_dir, snap_id))
@@ -457,9 +479,19 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     }
 
 
-def recover(table_dir: str) -> list[int]:
+def recover(table_dir: str, min_age_s: float = 0.0) -> list[int]:
     """Crash recovery for interrupted commits — call at resume/startup,
     once single-writer ownership of the table is re-established.
+
+    ``min_age_s``: leave orphan manifests and debris dirs YOUNGER than
+    this untouched.  A caller that cannot strictly guarantee exclusive
+    ownership (a streaming sink restart racing a zombie instance the
+    orchestrator failed to kill) uses a grace window: a live writer's
+    claim→publish gap is sub-second, so a fresh orphan may be that
+    writer mid-commit, while genuinely crashed debris only gets older.
+    If a fresh orphan really is a crash, the first commit conflicts,
+    the query fails, and the NEXT restart (past the grace) reclaims it
+    — slow convergence, never corruption.
 
     A commit that crashed between the manifest claim and the pointer
     advance leaves an ORPHAN manifest (id beyond LATEST) that is
@@ -476,19 +508,31 @@ def recover(table_dir: str) -> list[int]:
     (the empty-commit case keeps a 0-row schema file there with
     ``files=[]``) or references at least one file inside it."""
     import shutil
+    import time as _time
+
+    cutoff = _time.time() - min_age_s
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return True
 
     ptr = latest_snapshot_id(table_dir)
     removed: list[int] = []
     for m in history(table_dir):
         if ptr is not None and m["snapshot_id"] <= ptr:
             continue
+        mp = _manifest_path(table_dir, m["snapshot_id"])
+        if min_age_s and not _old_enough(mp):
+            continue  # possibly a live writer mid-commit — grace
         d = m.get(
             "data_dir",
             os.path.join(table_dir, "data", f"snap-{m['snapshot_id']:06d}"),
         )
         if os.path.isdir(d):
             shutil.rmtree(d, ignore_errors=True)
-        os.remove(_manifest_path(table_dir, m["snapshot_id"]))
+        os.remove(mp)
         removed.append(m["snapshot_id"])
 
     live = history(table_dir)  # post-orphan-removal chain
@@ -510,6 +554,8 @@ def recover(table_dir: str) -> list[int]:
         nd = os.path.normpath(d)
         if nd in keep_dirs or not os.path.isdir(d):
             continue
+        if min_age_s and not _old_enough(d):
+            continue  # possibly a live writer's in-flight data write
         if any(
             os.path.join(d, fn) in referenced
             for fn in os.listdir(d)
@@ -542,7 +588,16 @@ def compact(
     seen-set's url_hash-range clustering so the bloom shard alignment
     and range pruning survive compaction); plain round-robin otherwise.
     """
-    df = read_snapshot(spark, table_dir)
+    # ONE pointer read pins everything: the snapshot compacted, the
+    # epoch meta carried forward, and the commit's expected parent.
+    # Maintenance replacing the table is the textbook check-then-act
+    # window — a writer landing between this read and the commit would
+    # otherwise be silently DROPPED by the replace (its rows absent
+    # from the new LATEST, no conflict raised).  With expected_parent
+    # the race surfaces as CommitConflict; the caller retries or skips.
+    ptr = latest_pointer(table_dir)
+    parent = ptr["snapshot_id"] if ptr is not None else None
+    df = read_snapshot(spark, table_dir, parent)
     if target_files is None:
         target_files = max(spark.sparkContext.defaultParallelism, 4)
     if range_cols:
@@ -555,10 +610,12 @@ def compact(
     # O(1), and a maintenance commit that dropped it would let a
     # replayed micro-batch double-append on top of the compacted
     # snapshot that already contains its rows.
-    ptr = latest_pointer(table_dir)
     pm = (ptr or {}).get("meta") or {}
     if pm.get("epoch") is not None:
         meta["epoch"] = int(pm["epoch"])
         if pm.get("ckpt") is not None:
             meta["ckpt"] = pm["ckpt"]
-    return commit(df, table_dir, round_n, mode="replace", meta=meta)
+    return commit(
+        df, table_dir, round_n, mode="replace", meta=meta,
+        expected_parent=parent,
+    )

@@ -1188,7 +1188,9 @@ _JACCARD_BRUTE_SQL = f"""
 @register(
     "dedup_exact_docs",
     """
-    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    SELECT CASE WHEN text IS NOT NULL THEN md5(text)
+                ELSE 'null:' || CAST(doc_id AS VARCHAR) END AS text_hash,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_copies
     FROM documents GROUP BY 1
     """,
 )

@@ -415,10 +415,15 @@ def run_to_icelite(
     # A previous run that died between the manifest claim and the
     # pointer advance left an orphan manifest that would fail EVERY
     # replayed commit with CommitConflict — the stream could never
-    # restart.  The checkpoint dir gives this query single-writer
-    # ownership of the sink table, so recovery here is safe (same
-    # contract as the batch crawl loop's resume()).
-    icelite.recover(table_dir)
+    # restart.  The checkpoint dir SHOULD give this query single-writer
+    # ownership of the sink table, but a zombie instance the
+    # orchestrator failed to kill may still be mid-commit, so recovery
+    # runs with a grace window: claims younger than it are left alone
+    # (a zombie's claim→publish gap is sub-second; genuinely crashed
+    # debris only gets older — see icelite.recover).  Belt-and-braces:
+    # _advance_pointer refuses to publish a claim recover() deleted,
+    # so even a mis-timed sweep fails the zombie, never the table.
+    icelite.recover(table_dir, min_age_s=30.0)
     query_key = os.path.abspath(checkpoint_dir)
     (
         df.writeStream.foreachBatch(
