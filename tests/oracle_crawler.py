@@ -58,13 +58,26 @@ def crawl(
     max_depth: int = 3,
     default_budget: int = fx.DEFAULT_BUDGET,
     budget_rows: list[dict] | None = None,
+    round_window_s: float = 0.0,
 ) -> tuple[list[dict], set[str]]:
     """Returns (trace rows in fetch order, final seen set).
     ``budget_rows`` overrides the fixture per-host budgets (same shape
-    as fx.make_budgets(); [] = every host gets default_budget)."""
+    as fx.make_budgets(); [] = every host gets default_budget).
+    ``round_window_s`` > 0 additionally caps each host's budget at
+    floor(round_window_s / crawl_delay), floored at 1 — the robots
+    crawl-delay politeness semantics (CrawlConfig.round_window_s)."""
+    import math
+
     robots = fx.current_robots()
     rows = fx.make_budgets() if budget_rows is None else budget_rows
     budgets = {b["host"]: b["budget_per_round"] for b in rows}
+    if round_window_s > 0:
+        for host, d in fx.current_crawl_delays().items():
+            if d and d > 0:
+                budgets[host] = min(
+                    budgets.get(host, default_budget),
+                    max(1, math.floor(round_window_s / d)),
+                )
 
     seen: set[str] = set()
     pending: list[Candidate] = []

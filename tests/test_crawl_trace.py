@@ -252,6 +252,43 @@ def test_hot_host_skew_trace_parity_and_salt_spread(spark, tmp_path):
     assert len(hot_fetches) == 2 * 5
 
 
+def test_crawl_delay_cap_trace_parity(spark, tmp_path):
+    """Robots crawl-delay politeness (CrawlConfig.round_window_s): a
+    host whose robots asks for d seconds between fetches is capped at
+    floor(round_window_s / d) fetches per round (floored at 1), on BOTH
+    sides.  Asserts (a) the fixture actually exercises the cap — at
+    least one host's effective budget drops, (b) exact trace + seen
+    parity with the oracle under the cap, and (c) the capped trace
+    differs from the uncapped one (the feature changes scheduling, the
+    parity is not vacuous)."""
+    import math
+
+    window = 6.0
+    budgets = {b["host"]: b["budget_per_round"] for b in fx.make_budgets()}
+    delays = fx.current_crawl_delays()
+    capped_hosts = [
+        h
+        for h, d in delays.items()
+        if d > 0 and max(1, math.floor(window / d)) < budgets[h]
+    ]
+    assert capped_hosts, "fixture never engages the crawl-delay cap"
+
+    strace, sseen, _ = _spark_crawl(
+        spark, tmp_path, 3, round_window_s=window
+    )
+    otrace, oseen = oracle_crawler.crawl(
+        fx.make_seeds(), 3, round_window_s=window
+    )
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace]
+    assert strace == otrace
+    assert sseen == oseen
+
+    otrace_uncapped, _ = oracle_crawler.crawl(fx.make_seeds(), 3)
+    assert strace != [
+        tuple(r[c] for c in TRACE_COLS) for r in otrace_uncapped
+    ], "cap engaged but the trace is identical to the uncapped crawl"
+
+
 @pytest.mark.parametrize("mode", ["replace", "append"])
 def test_resume_equivalence(spark, tmp_path, mode):
     """§3.3: crawl(k) ≡ crawl(j); resume(k−j) — byte-identical trace

@@ -36,6 +36,41 @@ def with_budget(
     )
 
 
+def with_crawl_delay_cap(
+    frontier_with_budget: DataFrame,
+    robots_current: DataFrame,
+    round_window_s: float,
+) -> DataFrame:
+    """P5/J3 — cap each host's budget by its robots ``crawl_delay``:
+    a host whose robots asks for d seconds between fetches can sustain
+    at most floor(round_window_s / d) fetches inside one round window
+    (floored at 1 so a long delay defers, never starves, a host).
+    Hosts with no robots row or delay <= 0 keep their plain budget.
+
+    JVM-side broadcast join + codegen'd arithmetic; IEEE-double
+    division then floor, bit-identical to the oracle's
+    ``math.floor(round_window_s / d)`` — trace parity holds exactly.
+    """
+    delays = robots_current.select("host", "crawl_delay")
+    capped = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(float(round_window_s)) / F.col("crawl_delay")),
+    )
+    return (
+        frontier_with_budget.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "budget_per_round",
+            F.when(
+                F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+                F.least(F.col("budget_per_round").cast("long"), capped),
+            )
+            .otherwise(F.col("budget_per_round").cast("long"))
+            .cast("int"),
+        )
+        .drop("crawl_delay")
+    )
+
+
 def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> DataFrame:
     """W1/P6 — keep each host's top budget_per_round rows by the shared
     frontier order key.  Two-stage (see module docstring)."""

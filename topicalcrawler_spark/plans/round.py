@@ -62,6 +62,7 @@ from ..operators.politeness import (
     global_fetch_order,
     select_per_host_topk,
     with_budget,
+    with_crawl_delay_cap,
 )
 from ..operators.robots import latest_robots, with_robots_decision
 from ..schemas import FRONTIER, HOST_BUDGET, ROBOTS
@@ -133,6 +134,15 @@ class CrawlConfig:
     # identical (trace test pins it, including through a compaction).
     frontier_mode: str = "replace"
     compact_frontier_every: int = 8
+    # robots crawl-delay enforcement: when > 0, each host's effective
+    # per-round budget is additionally capped at
+    # floor(round_window_s / crawl_delay) (floored at 1) — a host whose
+    # robots asks for d seconds between fetches cannot sustain more
+    # fetches inside one round window.  0 (default) = budget-only
+    # politeness, the reference-trace semantics.  Enforced identically
+    # in the oracle (tests/oracle_crawler.py round_window_s) so trace
+    # parity is exact either way.
+    round_window_s: float = 0.0
     robots_rows: list = field(default_factory=fx.make_robots)
     budget_rows: list = field(default_factory=fx.make_budgets)
     # per-crawl memo of the static dim DataFrames (robots/budgets do
@@ -386,11 +396,14 @@ def _crawl_round_impl(
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
     mark("gate")
 
-    # 3. per-host budget top-k (J3/W1/P6)
-    selected = select_per_host_topk(
-        with_budget(allowed, _budgets_df(spark, cfg), cfg.default_budget),
-        salt=cfg.salt,
-    )
+    # 3. per-host budget top-k (J3/W1/P6), optionally crawl-delay
+    # capped (P5 — robots_cur carries the as-of crawl_delay column)
+    budgeted = with_budget(allowed, _budgets_df(spark, cfg), cfg.default_budget)
+    if cfg.round_window_s > 0:
+        budgeted = with_crawl_delay_cap(
+            budgeted, robots_cur, cfg.round_window_s
+        )
+    selected = select_per_host_topk(budgeted, salt=cfg.salt)
     # AQE coalesces the politeness window's shuffle down to ~1
     # partition (its INPUT bytes are tiny) — but the next stage runs
     # the CPU-heavy fetch UDF, which would then execute on one core.

@@ -115,6 +115,18 @@ def current_robots() -> dict[str, list[dict]]:
     return {h: r["rules"] for h, r in latest.items()}
 
 
+def current_crawl_delays() -> dict[str, float]:
+    """host -> crawl_delay of the LATEST robots row — the oracle's view
+    of the same as-of-resolved dim the engine's robots join carries
+    (operators.robots.latest_robots keeps the crawl_delay column)."""
+    latest: dict[str, dict] = {}
+    for r in make_robots():
+        cur = latest.get(r["host"])
+        if cur is None or r["fetched_at"] > cur["fetched_at"]:
+            latest[r["host"]] = r
+    return {h: r["crawl_delay"] for h, r in latest.items()}
+
+
 # ---------------------------------------------------------------- F5 budgets
 
 DEFAULT_BUDGET = 4
