@@ -414,3 +414,46 @@ def test_incremental_bloom_equals_full_build(spark):
             return {r["shard_id"]: bytes(r["bits"]) for r in rows}
 
         assert load(d_upd) == load(d_full)
+
+
+def test_crawl_delay_cap_float_parity_with_oracle(spark):
+    """The crawl-delay cap's trace parity rests on one claim: Spark's
+    floor(lit(window) / crawl_delay) (IEEE-double divide, then floor)
+    equals Python's math.floor(window / d) bit-for-bit.  Pin it over
+    1,000 adversarial (window, delay) pairs — including delays tiny
+    enough to make the quotient huge and quotients that land exactly
+    on integers — in ONE vectorized job via the real operator."""
+    import math
+
+    import numpy as np
+
+    from topicalcrawler_spark.operators.politeness import with_crawl_delay_cap
+
+    rng = np.random.default_rng(7)
+    window = 6.0
+    delays = np.concatenate(
+        [
+            rng.uniform(1e-6, 3.0, 900),          # the fixture range + tiny
+            window / rng.integers(1, 50, 50),     # exact-integer quotients
+            np.array([0.0, -1.0]),                # uncapped: nonpositive
+            rng.uniform(100.0, 1e6, 48),          # floor -> 0, clamped to 1
+        ]
+    )
+    budgets = rng.integers(1, 11, len(delays))
+    rows = [
+        (f"h{i}.example", float(d), int(b))
+        for i, (d, b) in enumerate(zip(delays, budgets))
+    ]
+    frontier = spark.createDataFrame(
+        [(h, b) for h, _, b in rows], "host string, budget_per_round int"
+    )
+    robots = spark.createDataFrame(
+        [(h, d) for h, d, _ in rows], "host string, crawl_delay double"
+    )
+    got = {
+        r["host"]: r["budget_per_round"]
+        for r in with_crawl_delay_cap(frontier, robots, window).collect()
+    }
+    for h, d, b in rows:
+        want = b if d <= 0 else min(b, max(1, math.floor(window / d)))
+        assert got[h] == want, (h, d, b, got[h], want)
