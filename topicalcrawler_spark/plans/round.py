@@ -666,8 +666,14 @@ def _crawl_round_impl(
             if fresh_ok:
                 k = bst["k"]
                 if delta_files:
+                    # unique per attempt (same contract as
+                    # icelite.next_data_dir): an in-process retry of a
+                    # crashed round re-ORs its delta into a FRESH dir —
+                    # OR-idempotent, and never out_dir == prev_dir
+                    # (which update_bloom_shard_files rejects)
                     shard_dir = os.path.join(
-                        cfg.table("bloom"), f"round-{round_n:06d}"
+                        cfg.table("bloom"),
+                        f"round-{round_n:06d}-{secrets.token_hex(4)}",
                     )
                     update_bloom_shard_files(
                         spark.read.parquet(*delta_files).select("url_hash"),
@@ -680,7 +686,8 @@ def _crawl_round_impl(
                     shard_dir = bst["dir"]
             else:
                 shard_dir = os.path.join(
-                    cfg.table("bloom"), f"round-{round_n:06d}"
+                    cfg.table("bloom"),
+                    f"round-{round_n:06d}-{secrets.token_hex(4)}",
                 )
                 k, n_bits = write_bloom_shard_files(
                     seen, shard_dir, cfg.n_shards, cfg.bloom_fpp,
