@@ -124,6 +124,56 @@ def test_incremental_bloom_maintenance_is_trace_identical(
     assert sseen == oseen
 
 
+def test_inprocess_retry_after_bloom_update_crash(spark, tmp_path, monkeypatch):
+    """An orchestrator that catches a mid-round failure and re-calls
+    crawl_round IN-PROCESS (same CrawlConfig, so the in-memory bloom
+    state survives) must converge, not trip the in-place guard: the
+    retry re-ORs the same manifest delta into a FRESH per-attempt
+    generation dir (OR-idempotent).  Crash point: inside the round-2
+    incremental bloom file update, after the new generation dir is
+    created but before the round commits anything."""
+    import topicalcrawler_spark.plans.round as round_mod
+    from topicalcrawler_spark.plans.round import (
+        CrawlConfig, crawl_round, init_crawl, read_seen, read_trace,
+    )
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    fx.write_seed_file(seeds_path)
+    cfg = CrawlConfig(
+        root=str(tmp_path / "crawl"),
+        use_bloom=True, bloom_min_keys=0, bloom_file_min_keys=0,
+    )
+    init_crawl(spark, cfg, seeds_path)
+    crawl_round(spark, cfg, 1)
+    cfg._dims["bloom"]["capacity"] = 10**12  # force the incremental leg
+
+    real_update = round_mod.update_bloom_shard_files
+    calls = {"n": 0}
+
+    def fail_once(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_update(*a, **kw)  # the work lands, THEN the crash
+            raise RuntimeError("injected crash after bloom update")
+        return real_update(*a, **kw)
+
+    monkeypatch.setattr(round_mod, "update_bloom_shard_files", fail_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        crawl_round(spark, cfg, 2)
+    crawl_round(spark, cfg, 2)  # in-process retry, same cfg
+    assert calls["n"] == 2
+    crawl_round(spark, cfg, 3)
+
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace, oseen = _oracle_crawl(3)
+    assert strace == otrace
+    assert sseen == oseen
+
+
 def test_serial_verify_order_is_trace_identical(spark, tmp_path, monkeypatch):
     """TC_OVERLAP_VERIFY=0 forces the metrics/verify action back to the
     serial order (no second driver thread).  The overlap is pure
