@@ -74,26 +74,56 @@ def _assign_cells(
     plus ``cell``.  The ONE assignment implementation shared by
     ivf_build / ivf_topk / ivf_neardup — three hand-copied variants
     could silently drift apart on a tie-break or distance change.
-    ``df`` must not already carry a ``cell`` column."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            "centroid",
-            lambda x, y: (x - y) * (x - y),
+    ``df`` must not already carry a ``cell`` column.
+
+    Zero-shuffle: the original form cross-joined the broadcast
+    centroids and ranked with a Window.partitionBy(id) — which
+    SHUFFLES corpus × n_cells rows per assignment (at 10^10 vectors ×
+    even 16 cells, the single largest exchange of the whole IVF path,
+    and pure overhead: the argmin needs only row-local data).  Now the
+    (tiny: n_cells × dim) centroid table is collected once, broadcast
+    with the closure, and each Arrow batch computes every distance in
+    one vectorized pass — a pure projection, no exchange, no window.
+
+    Bit-identical to the window form by construction: d2 is a
+    SEQUENTIAL left fold over (x-y)^2 (np.cumsum accumulates in
+    element order, exactly F.aggregate's fold from 0.0), and the
+    nprobe selection is a stable argsort over centroids pre-sorted by
+    cell id — ties in d2 resolve to the smaller cell, exactly the old
+    (d2 asc, cell asc) window order."""
+    crows = sorted(
+        (
+            (int(r["cell"]), np.asarray(r["centroid"], dtype=np.float64))
+            for r in centroids.select("cell", "centroid").collect()
         ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_d2").asc(), F.col("cell").asc()
+    cell_ids = np.array([c for c, _ in crows], dtype=np.int32)
+    C = np.stack([v for _, v in crows])  # (m, dim)
+    b_cents = df.sparkSession.sparkContext.broadcast((cell_ids, C))
+    npb = int(nprobe)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .drop("_d2", "_rn", "centroid")
-    )
+
+    def assign(batches):
+        cells_, C_ = b_cents.value
+        take = min(npb, len(cells_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = np.empty((len(pdf), len(cells_)))
+            for j in range(len(cells_)):
+                diff = M - C_[j]
+                # sequential per-element accumulation == the left fold
+                d2[:, j] = np.cumsum(diff * diff, axis=1)[:, -1]
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
+            out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
+            out["cell"] = cells_[idx].reshape(-1)
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def cosine_topk(
@@ -133,25 +163,77 @@ def cosine_topk(
 def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Exact all-pairs cosine near-dup: (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine >= threshold. O(n^2) — the oracle-checked
-    baseline; the scale path is lsh_topk's banding."""
-    base = with_norm(emb).select("vec_id", "embedding", "norm")
-    a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("nna"),
+    baseline; the scale path is ivf_neardup / lsh banding.
+
+    Vectorized exact scoring: the original theta-join form evaluated an
+    INTERPRETED F.aggregate fold per pair (higher-order functions never
+    enter codegen) — 64 boxed lambda steps × n² pairs dominated the
+    whole entry's wall.  Now the corpus is collected once (a baseline-
+    only move: this operator exists to check the bucketed paths at
+    small SF, never to run at 10^10 — its docstring has said so since
+    round 2) and broadcast; each Arrow batch scores its rows against
+    every HIGHER-id vector in one numpy pass.  Bit-identical by the
+    same argument as ``_assign_cells``: products are elementwise (IEEE
+    multiply is commutative), np.cumsum accumulates them in element
+    order — exactly the zip_with+aggregate left fold — and norms are
+    sqrt of the same fold.  Candidates are pre-filtered executor-side
+    at ``threshold - 1e-6`` on the unrounded cosine (round-to-6 moves
+    a value by ≤ 5e-7, so nothing the authoritative filter keeps can
+    be lost), then the SAME F.round + threshold filter as before runs
+    in Spark SQL on the surviving pairs."""
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nnb"),
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+    b_corpus = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+    thr = float(threshold)
+
+    def score(batches):
+        ids_, M_, norms_ = b_corpus.value
+        for pdf in batches:
+            out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                hi = ids_ > vid  # vec_a < vec_b pairs only
+                if not hi.any():
+                    continue
+                x = np.asarray(vec, dtype=np.float64)
+                dots = np.cumsum(M_[hi] * x, axis=1)[:, -1]
+                na = np.sqrt(np.cumsum(x * x)[-1])
+                cos = dots / (na * norms_[hi])
+                keep = cos >= thr - 1e-6
+                if not keep.any():
+                    continue
+                out_a.append(np.full(int(keep.sum()), vid, dtype=np.int64))
+                out_b.append(ids_[hi][keep])
+                out_dot.append(dots[keep])
+                out_na.append(np.full(int(keep.sum()), na))
+                out_nb.append(norms_[hi][keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "_dot": np.concatenate(out_dot),
+                        "_na": np.concatenate(out_na),
+                        "_nb": np.concatenate(out_nb),
+                    }
+                )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        score,
+        schema="vec_a long, vec_b long, _dot double, _na double, _nb double",
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
+        cand.withColumn(
             "cosine",
-            F.round(_dot_expr("ea", "eb") / (F.col("nna") * F.col("nnb")), 6),
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine") >= thr)
         .select("vec_a", "vec_b", "cosine")
     )
 
@@ -346,7 +428,16 @@ def ivf_build(
         assigned = _assign_cells(
             assigned.select("vec_id", "e"), cents, "e", "vec_id"
         ).select("vec_id", "e", "cell")
-    return _cell_centroids(assigned)
+    final = _cell_centroids(assigned)
+    # materialize the (tiny: n_cells × dim) index ONCE: every
+    # _assign_cells consumer collects the centroid table, and a lazy
+    # return would recompute the full Lloyd chain per consumer (corpus
+    # assign + query assign = 2 extra k-means runs).  Doubles survive
+    # collect/createDataFrame exactly, so results are unchanged.
+    rows = [(int(r["cell"]), list(r["centroid"])) for r in final.collect()]
+    return emb.sparkSession.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    )
 
 
 def ivf_topk(
