@@ -312,10 +312,21 @@ def connected_components(
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).cache()
-    labels = vertices.select(F.col(id_col).alias("v")).withColumn(
-        "comp", F.col("v")
-    ).cache()
-    labels.count()
+    # labels MUST be lineage-truncated per step (localCheckpoint), not
+    # merely cached: each iteration's plan references the previous
+    # labels TWICE (the neighbor-min join and the carry-forward join),
+    # so with cache() — which materializes data but keeps the logical
+    # plan — the analyzed plan DOUBLES per iteration and the driver
+    # OOMs optimizing it once the graph's diameter needs enough rounds
+    # (found at sf0.1: java.lang.OutOfMemoryError in .cache() plan
+    # analysis after ~20 rounds; sf0.01's shallow graphs converged
+    # before the blowup).  Same contract the star variant has always
+    # used; checkpoint blocks are GC-scoped, so nothing leaks either.
+    labels = (
+        vertices.select(F.col(id_col).alias("v"))
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -331,7 +342,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         n_changed = (
             new_labels.alias("n")
@@ -339,29 +350,18 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             converged = True
             break
     sym.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations — a component chain exceeds max_iter hops; "
             "raise max_iter or use connected_components_star"
         )
-    # hand the result over OFF the CacheManager: localCheckpoint blocks
-    # are GC-scoped (freed when the returned DataFrame becomes
-    # unreachable), whereas the loop's final cache() entry would
-    # otherwise leak per call for the life of the session — the same
-    # discipline connected_components_star already follows
-    out = labels.select(F.col("v").alias(id_col), "comp").localCheckpoint(
-        eager=True
-    )
-    labels.unpersist()
-    return out
+    return labels.select(F.col("v").alias(id_col), "comp")
 
 
 def connected_components_star(
