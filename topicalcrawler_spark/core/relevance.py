@@ -52,6 +52,11 @@ OFF_TOPIC_VOCAB = [
 
 _weights_cache: np.ndarray | None = None
 _bucket_memo: dict[str, int] = {}
+# Executors are long-lived and the real-web token vocabulary is
+# unbounded; past this many distinct tokens new ones are computed
+# without being stored (memoization is a pure cache — capping it can
+# never change a score).
+_BUCKET_MEMO_CAP = 1 << 20
 
 
 def weights() -> np.ndarray:
@@ -74,7 +79,8 @@ def _bucket(tok: str) -> int:
     b = _bucket_memo.get(tok)
     if b is None:
         b = token_bucket(tok, NBUCKETS)
-        _bucket_memo[tok] = b
+        if len(_bucket_memo) < _BUCKET_MEMO_CAP:
+            _bucket_memo[tok] = b
     return b
 
 
