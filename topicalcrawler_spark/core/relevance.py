@@ -51,12 +51,6 @@ OFF_TOPIC_VOCAB = [
 ]
 
 _weights_cache: np.ndarray | None = None
-_bucket_memo: dict[str, int] = {}
-# Executors are long-lived and the real-web token vocabulary is
-# unbounded; past this many distinct tokens new ones are computed
-# without being stored (memoization is a pure cache — capping it can
-# never change a score).
-_BUCKET_MEMO_CAP = 1 << 20
 
 
 def weights() -> np.ndarray:
@@ -75,22 +69,22 @@ def weights() -> np.ndarray:
     return _weights_cache
 
 
-def _bucket(tok: str) -> int:
-    b = _bucket_memo.get(tok)
-    if b is None:
-        b = token_bucket(tok, NBUCKETS)
-        if len(_bucket_memo) < _BUCKET_MEMO_CAP:
-            _bucket_memo[tok] = b
-    return b
-
-
 def score_q(text: str) -> int:
-    """Integer relevance score of one context string (oracle entry point)."""
+    """Integer relevance score of one context string (oracle entry point).
+
+    Buckets are computed directly per token — no memo.  A token-keyed
+    cache was measured SLOWER here for realistic short web tokens
+    (dict siphash + probe costs more than the crc32 it saves, since
+    split() yields fresh str objects every batch) and, keyed by an
+    unbounded real-web vocabulary, it was also per-worker memory that
+    needed capping.  Deleting it is both the fast and the bounded
+    choice; scores are unchanged (the memo was a pure cache).
+    """
     w = weights()
     tokens = text.split()
     if not tokens:
         return 0
-    total = int(sum(int(w[_bucket(t)]) for t in tokens))
+    total = int(sum(int(w[token_bucket(t, NBUCKETS)]) for t in tokens))
     return (total * REL_SCALE) // len(tokens)
 
 
