@@ -83,6 +83,11 @@ def crawl(
     pending: list[Candidate] = []
     for line_no, raw in enumerate(seed_urls, start=1):
         uc = canon_url(raw)
+        # P4 gates seeds exactly like out-links (engine: init_crawl) —
+        # a non-http(s) or unparseable seeds line is never admitted to
+        # the frontier or the seen set
+        if not (uc.startswith("http://") or uc.startswith("https://")):
+            continue
         if uc in seen:
             continue
         seen.add(uc)

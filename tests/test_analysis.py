@@ -308,3 +308,34 @@ def test_qaud_codec_and_audio_features(spark):
     assert got["aud-000011"][1] is False  # corrupt -> sentinel
     ok_rows = [v for v in got.values() if v[1]]
     assert ok_rows and all(v[3] > 0 and v[5] > 0 for v in ok_rows)
+
+
+def test_simhash_null_text_parity_with_duckdb(spark):
+    """A corpus containing NULL-text docs (fetch/extract failures):
+    the engine must drop them exactly like the DuckDB oracle's
+    unnest(string_split(NULL)) does — a (doc_id, NULL) row would fail
+    the cross-engine hash on the first real corpus with a dead fetch."""
+    import pandas as pd
+
+    from topicalcrawler_spark.analysis import dedup as dd
+    from topicalcrawler_spark.queries import _SIMHASH_SQL
+
+    rows = [
+        ("d01", "alpha beta gamma"),
+        ("d02", None),
+        ("d03", "alpha beta gamma"),
+        ("d04", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = dict(con.execute(_SIMHASH_SQL).fetchall())
+    assert got == want
+    assert "d02" not in got  # the NULL-text doc yields no signature

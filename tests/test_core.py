@@ -457,3 +457,82 @@ def test_crawl_delay_cap_float_parity_with_oracle(spark):
     for h, d, b in rows:
         want = b if d <= 0 else min(b, max(1, math.floor(window / d)))
         assert got[h] == want, (h, d, b, got[h], want)
+
+
+def test_robots_duplicate_equal_length_prefix_first_wins(spark):
+    """Equal-length duplicate prefixes with opposite allow flags — the
+    oracle's robots_allows keeps the FIRST rule at the max matching
+    length (strict '>'), so the engine's fold must too (an array_max
+    over (length, allow) structs would resolve the tie to allow=true)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tests.oracle_crawler import robots_allows
+    from topicalcrawler_spark.functions import robots_allowed_expr
+
+    cases = [
+        # (rules, path)
+        ([{"prefix": "/p/a", "allow": False},
+          {"prefix": "/p/a", "allow": True}], "/p/a/x"),
+        ([{"prefix": "/p/a", "allow": True},
+          {"prefix": "/p/a", "allow": False}], "/p/a/x"),
+        # longer prefix still beats an earlier shorter one
+        ([{"prefix": "/p", "allow": False},
+          {"prefix": "/p/a", "allow": True}], "/p/a/x"),
+        # tie at length 0-match -> allow
+        ([{"prefix": "/q", "allow": False}], "/p/a/x"),
+        ([], "/p/a/x"),
+        (None, "/p/a/x"),
+    ]
+    rows = [
+        {"i": i, "path": p, "rules": r} for i, (r, p) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "i int, path string, rules array<struct<prefix:string,allow:boolean>>",
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i", robots_allowed_expr("path", "rules").alias("ok")
+        ).collect()
+    }
+    for i, (rules, path) in enumerate(cases):
+        assert got[i] == robots_allows(rules, path), (i, rules, path)
+
+
+def test_latest_robots_tie_is_deterministic_and_oracle_matched(spark):
+    """Two robots rows for one host with IDENTICAL fetched_at but
+    different content: the engine must pick deterministically (content
+    key, not partition delivery order) and the fixtures' oracle-side
+    rule must agree."""
+    from datetime import datetime
+
+    from topicalcrawler_spark.operators.robots import latest_robots
+    from topicalcrawler_spark.sources.fixtures import robots_content_key
+
+    ts = datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        {"host": "h.test", "fetched_at": ts,
+         "rules": [{"prefix": "/p/b", "allow": True}], "crawl_delay": 1.5},
+        {"host": "h.test", "fetched_at": ts,
+         "rules": [{"prefix": "/p/a", "allow": False}], "crawl_delay": 0.5},
+    ]
+    schema = (
+        "host string, fetched_at timestamp, "
+        "rules array<struct<prefix:string,allow:boolean>>, crawl_delay double"
+    )
+    # both physical orders must give the same single row
+    picks = []
+    for order in (rows, rows[::-1]):
+        df = spark.createDataFrame(order, schema).repartition(4)
+        got = latest_robots(df).collect()
+        assert len(got) == 1
+        picks.append(
+            (got[0]["rules"][0]["prefix"], got[0]["crawl_delay"])
+        )
+    assert picks[0] == picks[1]
+    # and it is the content-key minimum — the same row the oracle's
+    # _latest_robots_rows tie rule keeps
+    want = min(rows, key=robots_content_key)
+    assert picks[0] == (want["rules"][0]["prefix"], want["crawl_delay"])

@@ -748,3 +748,45 @@ def test_bloom_generations_swept_and_frontier_rerun_guarded(
         icelite.latest_snapshot_id(cfg.table("frontier")) == snap_after_crash
     )
     assert stats["round"] == 3
+
+
+def test_dirty_seed_lines_are_gated_not_fetched(spark, tmp_path):
+    """P4 applies to SEEDS, not just out-links (round-4 review
+    finding): a seeds file with non-http(s) and unparseable lines must
+    produce a trace/seen identical to the oracle's, with none of the
+    dirty lines admitted — previously init_crawl committed them to the
+    frontier and round 1 fetched them, violating gates.py's 'the crawl
+    only ever fetches http(s) URLs'."""
+    dirty = [
+        "ftp://files.test/pub/x",
+        "notaurl",
+        "mailto:someone@example.test",
+        "  ",  # blank-ish: load_seeds drops pure blanks pre-seq
+    ]
+    clean = fx.make_seeds()[:40]
+    # interleave so dirty lines consume discovery_seq slots mid-file
+    lines = clean[:10] + dirty[:2] + clean[10:25] + dirty[2:] + clean[25:]
+    seeds_path = str(tmp_path / "seeds.txt")
+    with open(seeds_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    cfg = CrawlConfig(root=str(tmp_path / "crawl"))
+    run_crawl(spark, cfg, seeds_path, 2)
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+
+    # oracle sees the same non-blank lines in the same order (its seq
+    # is the line number among non-blank lines, like load_seeds)
+    oracle_lines = [ln for ln in lines if ln.strip()]
+    otrace_rows, oseen = oracle_crawler.crawl(oracle_lines, 2)
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace_rows]
+
+    assert strace == otrace
+    assert sseen == oseen
+    for urls in (sseen, {t[2] for t in strace}):
+        assert all(
+            u.startswith(("http://", "https://")) for u in urls
+        ), "a dirty seed leaked through the gate"

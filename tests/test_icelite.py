@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import glob
 import os
+
+import pyarrow.parquet as pq
 
 from topicalcrawler_spark import icelite
 
@@ -506,3 +509,56 @@ def test_commit_files_carries_stats(spark, tmp_path):
     lo = min(f[1] for f in idx)
     hi = max(f[2] for f in idx)
     assert all(lo <= r["url_hash"] <= hi for r in rows)
+
+
+def test_commit_files_empty_partition_keeps_index(spark, tmp_path):
+    """A 0-row part file (empty partition of a skewed write) has no
+    footer stats; commit_files must still keep the snapshot fully
+    stats-covered — via an empty-range sentinel, NOT by deleting the
+    file (the zero-copy caller may still be lazily reading the dir) —
+    or one skewed fetch round would permanently demote the file-probed
+    anti-join to its shuffle fallback."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "seen")
+    icelite.commit(
+        spark.range(0, 100).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+            F.concat(F.lit("http://h.test/p/"), F.col("id")).alias(
+                "url_canon"
+            ),
+        ),
+        t,
+        round_n=0,
+    )
+
+    d = icelite.next_data_dir(t)
+    # force an empty partition: 2 partitions over rows that all hash to
+    # one of them is fiddly, so write one empty and one real DataFrame
+    # into the same dir the way a skewed partitioned write lands
+    spark.range(100, 160).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("http://h.test/p/"), F.col("id")).alias("url_canon"),
+    ).coalesce(1).write.parquet(d)
+    empty = spark.createDataFrame([], "url_hash long, url_canon string")
+    empty.coalesce(1).write.mode("append").parquet(d)
+    files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+    assert any(
+        pq.ParquetFile(f).metadata.num_rows == 0 for f in files
+    ), "fixture did not produce an empty part file"
+
+    icelite.commit_files(t, d, round_n=1, row_count=60)
+    idx = icelite.file_hash_index(t)
+    assert idx is not None, "empty part file disabled the stats index"
+    head = icelite.read_manifest(t, icelite.latest_snapshot_id(t))
+    assert len(idx) == len(head["files"])
+    # the sentinel range overlaps nothing
+    from topicalcrawler_spark.operators.dedup import overlapping_files
+
+    sentinels = [(p, lo, hi) for p, lo, hi in idx if lo > hi]
+    assert sentinels, "empty file did not get the empty-range sentinel"
+    # a probe window inside the real data range must not need it when
+    # the window misses [1, 0]... i.e. any window with lo>1 or hi<0
+    assert sentinels[0][0] not in overlapping_files(idx, 2, 1 << 60)
+    # and reading the snapshot still returns exactly the real rows
+    assert icelite.read_snapshot(spark, t).count() == 160

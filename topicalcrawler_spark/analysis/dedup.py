@@ -237,6 +237,13 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash per doc (majority vote of token-hash bits, token
     multiset — repeated tokens count twice). Output: (doc_id, simhash).
 
+    Docs with NULL text (fetch/extract failures — the case exact_dedup
+    documents) get NO row: there is nothing to fingerprint, they can
+    never pair, and the DuckDB oracle's unnest(string_split(NULL))
+    already drops them — emitting a (doc_id, NULL) row here instead
+    would fail the cross-engine check on the first corpus containing a
+    failed fetch.
+
     Fully ROW-LOCAL (the round-1 verdict's cheap win): one array
     aggregate folds the token hashes into a 60-wide vote vector, a
     second folds the vote signs into the packed signature — all inside
@@ -266,7 +273,9 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select("doc_id", sig.alias("simhash"))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", sig.alias("simhash")
+    )
 
 
 def connected_components(

@@ -93,17 +93,25 @@ def robots_allowed_expr(path_col: str = "path", rules_col: str = "rules") -> Col
     """P5 — longest-prefix robots decision, fully JVM-side.
 
     Among rules whose prefix is a prefix of the URL path, the longest
-    wins; no rules / no match / no robots row → allow.  Expressed with
-    higher-order array functions so it stays inside codegen — no UDF.
+    wins; ties on length go to the FIRST such rule in list order —
+    aggregate() is a left fold and only a STRICTLY longer prefix
+    replaces the accumulator, which is exactly the oracle's
+    robots_allows loop (an array_max over (length, allow) structs
+    would instead resolve equal-length duplicate prefixes to
+    allow=true, diverging from the oracle on real-web rule lists that
+    repeat a prefix with opposite flags).  No rules / no match / no
+    robots row → allow.  Higher-order array expressions — JVM-side, no
+    Python workers.
     """
     return F.coalesce(
         F.expr(
             f"""
-            array_max(
-              transform(
-                filter({rules_col}, r -> startswith({path_col}, r.prefix)),
-                r -> struct(length(r.prefix) AS l, r.allow AS allow)
-              )
+            aggregate(
+              filter({rules_col}, r -> startswith({path_col}, r.prefix)),
+              struct(CAST(-1 AS INT) AS l, true AS allow),
+              (acc, r) -> IF(length(r.prefix) > acc.l,
+                             struct(length(r.prefix) AS l, r.allow AS allow),
+                             acc)
             ).allow
             """
         ),

@@ -311,10 +311,20 @@ def commit_files(
     # commit_files on a stats-bearing chain would permanently disable
     # file_hash_index (it requires EVERY file to carry stats), silently
     # demoting the zero-shuffle file-probed anti-join to the shuffle
-    # fallback for the rest of the table's life
+    # fallback for the rest of the table's life.  0-row files (empty
+    # partitions of a skewed write) have no footer stats at all; unlike
+    # commit() they can NOT be deleted here — the zero-copy contract
+    # means the caller may still be lazily reading the directory this
+    # same round — so they carry an empty-range sentinel (min > max,
+    # overlaps nothing): the completeness check stays satisfied and
+    # range pruning skips them, which is exactly their semantics.
     file_stats: dict[str, list[int]] = {}
     for f in files:
-        st = _url_hash_stats(pq.ParquetFile(f).metadata)
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            file_stats[f] = [1, 0]
+            continue
+        st = _url_hash_stats(md)
         if st is not None:
             file_stats[f] = st
     if mode == "append" and parent is not None:

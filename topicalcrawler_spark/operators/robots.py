@@ -14,12 +14,42 @@ from pyspark.sql.window import Window
 from ..functions import path_expr, robots_allowed_expr
 
 
+def robots_content_key(
+    rules_col: str = "rules", delay_col: str = "crawl_delay"
+) -> F.Column:
+    """Canonical content string of a robots row — the DETERMINISTIC
+    tie-break for rows sharing (host, fetched_at).  row_number over
+    fetched_at alone returns whichever tied row a partition happens to
+    deliver first (run-to-run nondeterminism, and divergence from the
+    pure-Python oracle); physical row order is not a thing a
+    distributed table can offer, so ties break on CONTENT: the
+    lexicographically smallest 'prefix±|prefix±|…#delay' string wins,
+    a rule both the engine (UTF8 binary ordering) and the oracle
+    (code-point ordering — identical on this ASCII alphabet) can
+    evaluate.  tests/oracle_crawler + sources/fixtures implement the
+    same key."""
+    return F.concat(
+        F.array_join(
+            F.expr(
+                f"transform({rules_col}, r -> concat(r.prefix, IF(r.allow, '+', '-')))"
+            ),
+            "|",
+        ),
+        F.lit("#"),
+        F.col(delay_col).cast("string"),
+    )
+
+
 def latest_robots(robots: DataFrame, as_of=None) -> DataFrame:
     """J7 — as-of join prep: newest robots row per host with
     fetched_at <= as_of (None = no bound).  Window + row_number, the
-    standard Spark as-of idiom."""
+    standard Spark as-of idiom; ties on fetched_at break on the
+    content key (see robots_content_key) so the pick is deterministic
+    and oracle-matched."""
     df = robots if as_of is None else robots.filter(F.col("fetched_at") <= F.lit(as_of))
-    w = Window.partitionBy("host").orderBy(F.col("fetched_at").desc())
+    w = Window.partitionBy("host").orderBy(
+        F.col("fetched_at").desc(), robots_content_key().asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -194,6 +194,13 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
         .withColumn("status", F.lit("pending"))
         .select(*[f.name for f in FRONTIER.fields])
     )
+    # P4 admits SEEDS too, not just out-links: a seeds file line that
+    # is not http(s) — or does not parse as a URL at all, which
+    # canon_url returns unchanged, urlcanon.py's contract being "the
+    # engine's scheme filter (P4) drops them later" — must never reach
+    # the frontier, the seen set, or a fetch.  The oracle crawler
+    # applies the identical gate to its seed loop.
+    seeds = scheme_depth_gate(seeds, cfg.max_depth)
     frontier0 = dedup_batch(seeds).repartitionByRange(
         cfg.n_shards, "url_hash"
     )

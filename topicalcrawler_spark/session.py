@@ -65,24 +65,45 @@ def _ship_package(spark: SparkSession) -> None:
     whenever the driver script is not launched from the repo root, and
     exactly what a multi-executor cluster deployment needs.
     """
+    import hashlib
+    import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     marker = "_tc_spark_pyfile_shipped"
     if spark.conf.get(f"spark.{marker}", None) == "1":
         return
-    import tempfile
 
+    # Collect sources and key the archive by their CONTENT hash — a
+    # name keyed by pid alone could reuse a stale or truncated zip
+    # left by an earlier process with a recycled pid, silently shipping
+    # outdated package code to the executors (results would drift from
+    # the oracle with no error).  Same content → same name → safe reuse.
+    sources: list[tuple[str, str]] = []
+    h = hashlib.blake2b(digest_size=8)
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                sources.append((full, rel))
+                h.update(rel.encode())
+                with open(full, "rb") as f:
+                    h.update(f.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"topicalcrawler_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"topicalcrawler_spark_{h.hexdigest()}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        # write-then-rename so a crash mid-write can never leave a
+        # truncated archive at the final name
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in sources:
+                zf.write(full, rel)
+        os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     spark.conf.set(f"spark.{marker}", "1")

@@ -104,27 +104,50 @@ def make_robots() -> list[dict]:
     return rows
 
 
-def current_robots() -> dict[str, list[dict]]:
-    """host -> rules of the LATEST robots row (the as-of-now view both
-    engine (J7) and oracle use)."""
+def robots_content_key(row: dict) -> str:
+    """Canonical content string of a robots row — the deterministic
+    fetched_at tie-break shared with the engine
+    (operators.robots.robots_content_key builds the identical string
+    with Spark expressions; both orderings are byte-wise on this ASCII
+    alphabet).  'First row in Python list order' is NOT a rule a
+    distributed table can honor, so ties break on content instead."""
+    return (
+        "|".join(
+            r["prefix"] + ("+" if r["allow"] else "-") for r in row["rules"]
+        )
+        + "#"
+        + str(float(row["crawl_delay"]))
+    )
+
+
+def _latest_robots_rows() -> dict[str, dict]:
     latest: dict[str, dict] = {}
     for r in make_robots():
         cur = latest.get(r["host"])
-        if cur is None or r["fetched_at"] > cur["fetched_at"]:
+        if (
+            cur is None
+            or r["fetched_at"] > cur["fetched_at"]
+            or (
+                r["fetched_at"] == cur["fetched_at"]
+                and robots_content_key(r) < robots_content_key(cur)
+            )
+        ):
             latest[r["host"]] = r
-    return {h: r["rules"] for h, r in latest.items()}
+    return latest
+
+
+def current_robots() -> dict[str, list[dict]]:
+    """host -> rules of the LATEST robots row (the as-of-now view both
+    engine (J7) and oracle use); fetched_at ties break on the content
+    key, matching operators.robots.latest_robots."""
+    return {h: r["rules"] for h, r in _latest_robots_rows().items()}
 
 
 def current_crawl_delays() -> dict[str, float]:
     """host -> crawl_delay of the LATEST robots row — the oracle's view
     of the same as-of-resolved dim the engine's robots join carries
     (operators.robots.latest_robots keeps the crawl_delay column)."""
-    latest: dict[str, dict] = {}
-    for r in make_robots():
-        cur = latest.get(r["host"])
-        if cur is None or r["fetched_at"] > cur["fetched_at"]:
-            latest[r["host"]] = r
-    return {h: r["crawl_delay"] for h, r in latest.items()}
+    return {h: r["crawl_delay"] for h, r in _latest_robots_rows().items()}
 
 
 # ---------------------------------------------------------------- F5 budgets
