@@ -502,37 +502,164 @@ def test_robots_duplicate_equal_length_prefix_first_wins(spark):
 
 
 def test_latest_robots_tie_is_deterministic_and_oracle_matched(spark):
-    """Two robots rows for one host with IDENTICAL fetched_at but
-    different content: the engine must pick deterministically (content
-    key, not partition delivery order) and the fixtures' oracle-side
-    rule must agree."""
+    """Robots rows tying on (host, fetched_at) with different content:
+    the engine must pick deterministically (content keys, not partition
+    delivery order) and the fixtures' oracle-side rule must agree —
+    including the edge cases a single stringified key gets wrong:
+    sub-1e-3 delays (Spark CAST(double AS STRING) goes scientific at
+    1e-3, Python repr at 1e-4 — '0.1' < '5.0E-4' but 0.0005 < 0.1),
+    NULL delays (concat null-propagates, collapsing the whole key), and
+    a '|' inside a prefix (aliases two different rule lists unless the
+    encoding is length-prefixed)."""
     from datetime import datetime
 
     from topicalcrawler_spark.operators.robots import latest_robots
     from topicalcrawler_spark.sources.fixtures import robots_content_key
 
     ts = datetime(2025, 1, 1, 12, 0, 0)
-    rows = [
-        {"host": "h.test", "fetched_at": ts,
-         "rules": [{"prefix": "/p/b", "allow": True}], "crawl_delay": 1.5},
-        {"host": "h.test", "fetched_at": ts,
-         "rules": [{"prefix": "/p/a", "allow": False}], "crawl_delay": 0.5},
+    tied_pairs = [
+        # plain content tie
+        [{"host": "h0.test", "fetched_at": ts,
+          "rules": [{"prefix": "/p/b", "allow": True}], "crawl_delay": 1.5},
+         {"host": "h0.test", "fetched_at": ts,
+          "rules": [{"prefix": "/p/a", "allow": False}], "crawl_delay": 0.5}],
+        # same rules, delays 0.0005 vs 0.1 — numeric order must win
+        [{"host": "h1.test", "fetched_at": ts,
+          "rules": [{"prefix": "/p", "allow": True}], "crawl_delay": 0.0005},
+         {"host": "h1.test", "fetched_at": ts,
+          "rules": [{"prefix": "/p", "allow": True}], "crawl_delay": 0.1}],
+        # both delays NULL — rules key must still decide
+        [{"host": "h2.test", "fetched_at": ts,
+          "rules": [{"prefix": "/z", "allow": True}], "crawl_delay": None},
+         {"host": "h2.test", "fetched_at": ts,
+          "rules": [{"prefix": "/a", "allow": False}], "crawl_delay": None}],
+        # NULL vs set delay — NULL orders first on both sides
+        [{"host": "h3.test", "fetched_at": ts,
+          "rules": [{"prefix": "/q", "allow": True}], "crawl_delay": None},
+         {"host": "h3.test", "fetched_at": ts,
+          "rules": [{"prefix": "/q", "allow": True}], "crawl_delay": 0.25}],
+        # '|' inside a prefix vs the two-rule list it would alias
+        [{"host": "h4.test", "fetched_at": ts,
+          "rules": [{"prefix": "/a+|1:b", "allow": True}],
+          "crawl_delay": 1.0},
+         {"host": "h4.test", "fetched_at": ts,
+          "rules": [{"prefix": "/a", "allow": True},
+                    {"prefix": "b", "allow": True}], "crawl_delay": 1.0}],
     ]
     schema = (
         "host string, fetched_at timestamp, "
         "rules array<struct<prefix:string,allow:boolean>>, crawl_delay double"
     )
-    # both physical orders must give the same single row
+
+    def pick_key(row):
+        return (
+            tuple((r["prefix"], r["allow"]) for r in row["rules"]),
+            row["crawl_delay"],
+        )
+
+    rows = [r for pair in tied_pairs for r in pair]
+    # both physical orders must give the same row per host
     picks = []
     for order in (rows, rows[::-1]):
         df = spark.createDataFrame(order, schema).repartition(4)
         got = latest_robots(df).collect()
-        assert len(got) == 1
+        assert len(got) == len(tied_pairs)
         picks.append(
-            (got[0]["rules"][0]["prefix"], got[0]["crawl_delay"])
+            {r["host"]: pick_key(r.asDict(recursive=True)) for r in got}
         )
     assert picks[0] == picks[1]
-    # and it is the content-key minimum — the same row the oracle's
-    # _latest_robots_rows tie rule keeps
-    want = min(rows, key=robots_content_key)
-    assert picks[0] == (want["rules"][0]["prefix"], want["crawl_delay"])
+    # and each pick is the content-key minimum — the same row the
+    # oracle's _latest_robots_rows tie rule keeps
+    for pair in tied_pairs:
+        want = min(pair, key=robots_content_key)
+        assert picks[0][want["host"]] == pick_key(want), want["host"]
+
+
+def test_robots_engine_oracle_randomized_parity(spark):
+    """Seeded random sweep (one Spark job per surface, not per case):
+
+    1. 300 hosts x 2-4 robots rows all tying on fetched_at, rule lists
+       drawn from a prefix pool that includes '|' and ':' (the
+       encoding's own separators), a non-ASCII prefix (UTF-8 byte order
+       vs Python code-point order), empty prefixes, empty rule lists,
+       and delays spanning None / sub-1e-4 / sub-1e-3 / large — the
+       engine's latest_robots pick must equal the oracle content-key
+       minimum on EVERY host.
+    2. 500 random (rules, path) pairs — robots_allowed_expr must equal
+       the oracle's robots_allows on every pair.
+    """
+    import random
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from tests.oracle_crawler import robots_allows
+    from topicalcrawler_spark.functions import robots_allowed_expr
+    from topicalcrawler_spark.operators.robots import latest_robots
+    from topicalcrawler_spark.sources.fixtures import robots_content_key
+
+    rng = random.Random(42)
+    prefixes = [
+        "", "/", "/a", "/a/b", "/a|b", "/a+|1:b", "2:/a", "/p/q/r",
+        "/é", "/p", "/p/", "b",
+    ]
+    delays = [None, 0.0005, 0.0001, 1e-05, 0.1, 1.0, 2.5, 12345.678]
+    paths = ["/", "/a", "/a/b/c", "/a|b/x", "/p/q/r/s", "/é/x", "/zzz"]
+
+    def rand_rules():
+        return [
+            {"prefix": rng.choice(prefixes), "allow": rng.random() < 0.5}
+            for _ in range(rng.randrange(0, 5))
+        ]
+
+    ts = datetime(2025, 3, 1, 0, 0, 0)
+    rows, by_host = [], {}
+    for i in range(300):
+        host = f"h{i:03d}.test"
+        group = [
+            {"host": host, "fetched_at": ts, "rules": rand_rules(),
+             "crawl_delay": rng.choice(delays)}
+            for _ in range(rng.randrange(2, 5))
+        ]
+        by_host[host] = group
+        rows.extend(group)
+    rng.shuffle(rows)
+
+    schema = (
+        "host string, fetched_at timestamp, "
+        "rules array<struct<prefix:string,allow:boolean>>, crawl_delay double"
+    )
+
+    def pick_key(row):
+        return (
+            tuple((r["prefix"], r["allow"]) for r in row["rules"]),
+            row["crawl_delay"],
+        )
+
+    got = {
+        r["host"]: pick_key(r.asDict(recursive=True))
+        for r in latest_robots(
+            spark.createDataFrame(rows, schema).repartition(8)
+        ).collect()
+    }
+    assert len(got) == len(by_host)
+    for host, group in by_host.items():
+        want = min(group, key=robots_content_key)
+        assert got[host] == pick_key(want), (host, group)
+
+    cases = [(rand_rules(), rng.choice(paths)) for _ in range(500)]
+    pdf = spark.createDataFrame(
+        [
+            {"i": i, "path": p, "rules": r}
+            for i, (r, p) in enumerate(cases)
+        ],
+        "i int, path string, rules array<struct<prefix:string,allow:boolean>>",
+    )
+    got_ok = {
+        r["i"]: r["ok"]
+        for r in pdf.select(
+            "i", robots_allowed_expr("path", "rules").alias("ok")
+        ).collect()
+    }
+    for i, (rules, path) in enumerate(cases):
+        assert got_ok[i] == robots_allows(rules, path), (i, rules, path)

@@ -557,8 +557,15 @@ def test_commit_files_empty_partition_keeps_index(spark, tmp_path):
 
     sentinels = [(p, lo, hi) for p, lo, hi in idx if lo > hi]
     assert sentinels, "empty file did not get the empty-range sentinel"
-    # a probe window inside the real data range must not need it when
-    # the window misses [1, 0]... i.e. any window with lo>1 or hi<0
+    # the sentinel must be excluded from ANY non-full-range probe
+    # window — including one straddling zero, which a [1, 0]-style
+    # sentinel with a finite gap would wrongly match (the predicate is
+    # fmin <= hi AND lo <= fmax), making the zero-straddling probe task
+    # re-read every accumulated empty file each round
     assert sentinels[0][0] not in overlapping_files(idx, 2, 1 << 60)
+    assert sentinels[0][0] not in overlapping_files(idx, -5, 5)
+    assert sentinels[0][0] not in overlapping_files(
+        idx, -(1 << 62), (1 << 62)
+    )
     # and reading the snapshot still returns exactly the real rows
     assert icelite.read_snapshot(spark, t).count() == 160

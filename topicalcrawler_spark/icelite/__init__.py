@@ -322,7 +322,14 @@ def commit_files(
     for f in files:
         md = pq.ParquetFile(f).metadata
         if md.num_rows == 0:
-            file_stats[f] = [1, 0]
+            # [INT64_MAX, INT64_MIN], not e.g. [1, 0]: the pruning
+            # predicate is `fmin <= hi AND lo <= fmax`, so any sentinel
+            # with a finite gap (like [1, 0]) still matches every probe
+            # window spanning it — the task whose url_hash range
+            # straddles zero would re-read every accumulated 0-row file
+            # each round.  The extreme pair is unsatisfiable except by
+            # the full-range window.
+            file_stats[f] = [(1 << 63) - 1, -(1 << 63)]
             continue
         st = _url_hash_stats(md)
         if st is not None:

@@ -91,8 +91,15 @@ def _ship_package(spark: SparkSession) -> None:
                 h.update(rel.encode())
                 with open(full, "rb") as f:
                     h.update(f.read())
+    # the archive name carries the uid as well as the content hash:
+    # mkstemp files are 0600, so on a shared-tempdir machine another
+    # user running the same checkout must get their OWN archive rather
+    # than finding ours unreadable (and being unable to replace it in a
+    # sticky-bit /tmp)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     zpath = os.path.join(
-        tempfile.gettempdir(), f"topicalcrawler_spark_{h.hexdigest()}.zip"
+        tempfile.gettempdir(),
+        f"topicalcrawler_spark_{uid}_{h.hexdigest()}.zip",
     )
     if not os.path.exists(zpath):
         # write-then-rename so a crash mid-write can never leave a
@@ -101,9 +108,16 @@ def _ship_package(spark: SparkSession) -> None:
             suffix=".zip", dir=tempfile.gettempdir()
         )
         os.close(fd)
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for full, rel in sources:
-                zf.write(full, rel)
-        os.replace(tmp, zpath)
+        try:
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for full, rel in sources:
+                    zf.write(full, rel)
+            os.replace(tmp, zpath)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     spark.sparkContext.addPyFile(zpath)
     spark.conf.set(f"spark.{marker}", "1")

@@ -104,20 +104,36 @@ def make_robots() -> list[dict]:
     return rows
 
 
-def robots_content_key(row: dict) -> str:
-    """Canonical content string of a robots row — the deterministic
+def robots_content_key(row: dict) -> tuple:
+    """Canonical content sort key of a robots row — the deterministic
     fetched_at tie-break shared with the engine
-    (operators.robots.robots_content_key builds the identical string
-    with Spark expressions; both orderings are byte-wise on this ASCII
-    alphabet).  'First row in Python list order' is NOT a rule a
-    distributed table can honor, so ties break on content instead."""
-    return (
-        "|".join(
-            r["prefix"] + ("+" if r["allow"] else "-") for r in row["rules"]
+    (operators.robots.robots_content_keys builds the identical ordering
+    with Spark expressions).  'First row in Python list order' is NOT a
+    rule a distributed table can honor, so ties break on content.
+
+    The key is (rules_key, delay_is_set, delay): the delay compares as
+    a FLOAT — never stringified, because Spark's CAST(double AS STRING)
+    and Python's repr disagree on when scientific notation starts
+    (0.0005 → '5.0E-4' vs '0.0005'), which would reorder the two sides
+    — with None (no Crawl-delay directive) first, matching the engine's
+    asc_nulls_first.  The rules key is length-prefixed
+    '<len>:<prefix><flag>' per rule ('+'/'-'/'?' for allow
+    true/false/None), injective even when a prefix contains '|', NULL
+    array → ''.  String comparison is code-point-wise here, UTF-8
+    byte-wise in Spark — identical orderings (UTF-8 preserves
+    code-point order)."""
+    rules = row.get("rules") or []
+    rules_key = "|".join(
+        "%d:%s%s"
+        % (
+            len(r.get("prefix") or ""),
+            r.get("prefix") or "",
+            "?" if r.get("allow") is None else ("+" if r["allow"] else "-"),
         )
-        + "#"
-        + str(float(row["crawl_delay"]))
+        for r in rules
     )
+    d = row.get("crawl_delay")
+    return (rules_key, d is not None, 0.0 if d is None else float(d))
 
 
 def _latest_robots_rows() -> dict[str, dict]:
