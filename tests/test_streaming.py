@@ -330,3 +330,87 @@ def test_replay_guard_survives_expiry(spark, tmp_path):
     assert icelite.read_snapshot(spark, table).count() == n
     st.commit_batch(_batch_events(spark).limit(5), table, 3)  # new epoch
     assert icelite.read_snapshot(spark, table).count() == n + 5
+
+
+def test_stateful_politeness_null_ts_chunk_does_not_poison_batch_ts(
+    spark, tmp_path
+):
+    """Round-4 review finding: pandas max(NaT, ts) is order-dependent
+    (NaT wins when it is the first argument), so a first micro-batch
+    whose ts column is all NULL used to force batch_ts to NULL for
+    every later batch of that host.  A NULL-ts chunk must simply not
+    contribute to batch_ts."""
+    import datetime as dt
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    t1 = dt.datetime(2025, 5, 1, 12, 0, 0)
+
+    def write_file(name, rows, mtime):
+        path = os.path.join(in_dir, name)
+        spark.createDataFrame(rows, st.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: all-NULL ts for host 'view'; batch 2: real timestamps
+    write_file(
+        "b1",
+        [(1, None, 10, "view", 1.0, "{}"), (2, None, 11, "view", 2.0, "{}")],
+        1_000_000_000,
+    )
+    write_file(
+        "b2",
+        [(3, t1, 12, "view", 3.0, "{}")],
+        1_000_000_100,
+    )
+
+    stream = (
+        spark.readStream.schema(st.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    out = st.stateful_politeness(stream, tokens_per_host=100, impl="apply")
+    st.drain_to_memory(out, "t_nat_budget", output_mode="update")
+    rows = sorted(
+        spark.table("t_nat_budget").collect(), key=lambda r: r["n_requested"]
+    )
+    # whichever batch carried the real timestamp must emit it; the
+    # all-NULL batch emits NULL (nothing to report), and crucially the
+    # real ts is never displaced by a NaT that arrived earlier
+    assert any(r["batch_ts"] == t1 for r in rows), rows
+    assert all(
+        r["batch_ts"] in (None, t1) for r in rows
+    ), rows
+
+
+def test_drain_bucket_chunks_nat_order_independent():
+    """Direct pin of the cross-chunk fold: a null-ts chunk FIRST must
+    not displace a later real timestamp (pandas max(NaT, ts) returns
+    NaT in that argument order), and chunk order must not matter."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t1 = pd.Timestamp(dt.datetime(2025, 5, 1, 12, 0, 0))
+    t2 = pd.Timestamp(dt.datetime(2025, 5, 1, 13, 0, 0))
+    null_chunk = pd.DataFrame({"ts": pd.to_datetime([None, None])})
+    real_chunk = pd.DataFrame({"ts": [t1, t2]})
+    empty_chunk = pd.DataFrame({"ts": pd.to_datetime([])})
+
+    for order in (
+        [null_chunk, real_chunk],
+        [real_chunk, null_chunk],
+        [empty_chunk, null_chunk, real_chunk],
+    ):
+        n, mx = st._drain_bucket_chunks(order)
+        assert mx == t2, order
+        assert n == sum(len(c) for c in order)
+
+    # no timestamps at all -> None (NULL batch_ts), not NaT
+    n, mx = st._drain_bucket_chunks([null_chunk, empty_chunk])
+    assert mx is None and n == 2

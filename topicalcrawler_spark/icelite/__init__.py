@@ -118,6 +118,61 @@ def _url_hash_stats(md) -> list[int] | None:
     return None if lo is None else [int(lo), int(hi)]
 
 
+# Stats sentinel for 0-row files kept in a manifest.  The reader's
+# pruning predicate (operators.dedup.overlapping_files) is
+# `fmin <= hi AND lo <= fmax`, so only the extreme pair is
+# unsatisfiable by every non-full-range probe window — a sentinel with
+# a finite gap (e.g. [1, 0]) would still match any window straddling
+# it, and the probe task whose url_hash range covers that gap would
+# re-read every accumulated 0-row file each round.
+EMPTY_RANGE_SENTINEL: list[int] = [(1 << 63) - 1, -(1 << 63)]
+
+
+def _collect_file_stats(
+    files: list[str], on_empty: str
+) -> tuple[list[str], int, dict[str, list[int]], list[str]]:
+    """One parquet-footer pass over a commit's part files — the SHARED
+    stats loop of ``commit`` and ``commit_files`` (a hand-duplicated
+    copy drifting in one of them would silently break
+    ``file_hash_index``'s every-file-has-stats completeness check on
+    that path, permanently demoting the file-probed anti-join to its
+    shuffle fallback).  Returns (kept_files, row_count, file_stats,
+    empty_files).
+
+    ``on_empty`` is the 0-row-file policy — the one legitimate
+    difference between the two commit paths:
+
+    * ``'drop'`` — ``commit`` owns the directory it just wrote, so
+      empty part files are excluded from the manifest (the caller
+      unlinks them: unlisted files are invisible to expire_snapshots
+      and would leak forever).
+    * ``'sentinel'`` — ``commit_files`` must NOT touch the caller's
+      files (zero-copy contract: the directory may still be lazily
+      read this same round), so empties stay listed carrying
+      ``EMPTY_RANGE_SENTINEL``: completeness stays satisfied and range
+      pruning skips them, which is exactly their semantics.
+    """
+    assert on_empty in ("drop", "sentinel"), on_empty
+    kept: list[str] = []
+    empties: list[str] = []
+    row_count = 0
+    file_stats: dict[str, list[int]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            empties.append(f)
+            if on_empty == "sentinel":
+                kept.append(f)
+                file_stats[f] = list(EMPTY_RANGE_SENTINEL)
+            continue
+        kept.append(f)
+        row_count += md.num_rows
+        st = _url_hash_stats(md)
+        if st is not None:
+            file_stats[f] = st
+    return kept, row_count, file_stats, empties
+
+
 def _claim_manifest(manifest: dict, mpath: str) -> None:
     """Atomically claim a snapshot id: link-if-absent of the manifest
     file.  Exactly one writer wins a given id; losers raise
@@ -228,23 +283,9 @@ def commit(
     # column-stats analogue: they let readers prune files by url_hash
     # range WITHOUT opening footers at read time (the file-probed exact
     # anti-join depends on this — operators/dedup.anti_join_seen_files).
-    row_count = 0
-    file_stats: dict[str, list[int]] = {}
-    nonempty, empty = [], []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        if md.num_rows == 0:
-            # 0-row files (e.g. an emptied tombstone table, or empty
-            # partitions of a skewed write) contribute nothing to any
-            # read and have no footer stats — listing them would only
-            # poison the stats-completeness check of file_hash_index.
-            empty.append(f)
-            continue
-        nonempty.append(f)
-        row_count += md.num_rows
-        st = _url_hash_stats(md)
-        if st is not None:
-            file_stats[f] = st
+    nonempty, row_count, file_stats, empty = _collect_file_stats(
+        files, on_empty="drop"
+    )
     if nonempty:
         # unlisted files are invisible to expire_snapshots (it deletes
         # only manifest-referenced files), so delete them NOW or they
@@ -307,33 +348,14 @@ def commit_files(
     parent = latest_snapshot_id(table_dir)
     snap_id = (parent or 0) + 1
     files = sorted(glob(os.path.join(data_dir, "part-*.parquet")))
-    # footer stats, same loop as commit(): without them one
-    # commit_files on a stats-bearing chain would permanently disable
+    # footer stats via the shared loop: without them one commit_files
+    # on a stats-bearing chain would permanently disable
     # file_hash_index (it requires EVERY file to carry stats), silently
     # demoting the zero-shuffle file-probed anti-join to the shuffle
-    # fallback for the rest of the table's life.  0-row files (empty
-    # partitions of a skewed write) have no footer stats at all; unlike
-    # commit() they can NOT be deleted here — the zero-copy contract
-    # means the caller may still be lazily reading the directory this
-    # same round — so they carry an empty-range sentinel (min > max,
-    # overlaps nothing): the completeness check stays satisfied and
-    # range pruning skips them, which is exactly their semantics.
-    file_stats: dict[str, list[int]] = {}
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        if md.num_rows == 0:
-            # [INT64_MAX, INT64_MIN], not e.g. [1, 0]: the pruning
-            # predicate is `fmin <= hi AND lo <= fmax`, so any sentinel
-            # with a finite gap (like [1, 0]) still matches every probe
-            # window spanning it — the task whose url_hash range
-            # straddles zero would re-read every accumulated 0-row file
-            # each round.  The extreme pair is unsatisfiable except by
-            # the full-range window.
-            file_stats[f] = [(1 << 63) - 1, -(1 << 63)]
-            continue
-        st = _url_hash_stats(md)
-        if st is not None:
-            file_stats[f] = st
+    # fallback for the rest of the table's life.  0-row files stay
+    # listed with EMPTY_RANGE_SENTINEL (see _collect_file_stats: the
+    # zero-copy contract forbids deleting the caller's files).
+    files, _, file_stats, _ = _collect_file_stats(files, on_empty="sentinel")
     if mode == "append" and parent is not None:
         pm = read_manifest(table_dir, parent)
         files = pm["files"] + files

@@ -135,6 +135,25 @@ def tws_available() -> bool:
         return False
 
 
+def _drain_bucket_chunks(pdfs) -> tuple[int, object]:
+    """Fold a group's Arrow chunks into (n_requested, max non-null ts)
+    — the shared per-batch reduction of BOTH ST6 implementations.
+
+    NaT-safe: a chunk whose ts column is all NULL (or empty) simply
+    does not contribute — pandas ``max(NaT, ts)`` is order-dependent
+    (NaT wins as the FIRST argument), so folding NaT in would poison
+    batch_ts for the whole group whenever a null-ts chunk arrives
+    first.  Returns max_ts=None when no chunk carried a timestamp."""
+    n_req = 0
+    max_ts = None
+    for pdf in pdfs:
+        n_req += len(pdf)
+        m = pdf["ts"].max()
+        if pd.notna(m):
+            max_ts = m if max_ts is None else max(max_ts, m)
+    return n_req, max_ts
+
+
 def stateful_politeness_tws(
     stream: DataFrame,
     tokens_per_host: int = 100,
@@ -158,12 +177,7 @@ def stateful_politeness_tws(
                 if self._tokens.exists()
                 else tokens_per_host
             )
-            n_req = 0
-            max_ts = None
-            for pdf in rows:
-                n_req += len(pdf)
-                m = pdf["ts"].max()
-                max_ts = m if max_ts is None else max(max_ts, m)
+            n_req, max_ts = _drain_bucket_chunks(rows)
             admitted = min(n_req, tokens)
             tokens -= admitted
             self._tokens.update((tokens,))
@@ -218,12 +232,7 @@ def stateful_politeness(
             (tokens,) = state.get
         else:
             tokens = tokens_per_host
-        n_req = 0
-        max_ts = None
-        for pdf in pdfs:
-            n_req += len(pdf)
-            m = pdf["ts"].max()
-            max_ts = m if max_ts is None else max(max_ts, m)
+        n_req, max_ts = _drain_bucket_chunks(pdfs)
         admitted = min(n_req, tokens)
         tokens -= admitted
         state.update((tokens,))
@@ -423,8 +432,14 @@ def run_to_icelite(
     # debris only gets older — see icelite.recover).  Belt-and-braces:
     # _advance_pointer refuses to publish a claim recover() deleted,
     # so even a mis-timed sweep fails the zombie, never the table.
+    # realpath, not abspath: the replay guard must key the same
+    # checkpoint identically however its path is spelled — a restart
+    # that reaches the checkpoint through a symlink or a different
+    # mount spelling still resumes the SAME Spark state and replays the
+    # last epoch, and an abspath-keyed guard would miss the prior
+    # commits and double-append that batch.
+    query_key = os.path.realpath(checkpoint_dir)
     icelite.recover(table_dir, min_age_s=30.0)
-    query_key = os.path.abspath(checkpoint_dir)
     (
         df.writeStream.foreachBatch(
             lambda batch_df, epoch_id: commit_batch(
