@@ -339,3 +339,102 @@ def test_simhash_null_text_parity_with_duckdb(spark):
     want = dict(con.execute(_SIMHASH_SQL).fetchall())
     assert got == want
     assert "d02" not in got  # the NULL-text doc yields no signature
+
+
+def test_minhash_lsh_drops_tokenless_docs_before_banding(spark):
+    """Round-4 review finding: NULL-text (failed fetch) docs have
+    all-NULL minhash signatures, so ALL of them collided into one ''
+    band key in EVERY band — a quadratic candidate bucket at scale.
+    They must produce no band rows at all (they can never form a true
+    pair), and the pair output must be unchanged.  Empty-STRING docs
+    are different: they tokenize to {''} (same as the DuckDB oracle's
+    string_split) and legitimately keep a signature."""
+    from topicalcrawler_spark.analysis import dedup as dd
+
+    rows = [
+        ("d01", "alpha beta gamma delta"),
+        ("d02", None),
+        ("d03", "alpha beta gamma delta"),
+        ("d04", ""),
+        ("d05", None),
+        ("d06", "completely different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(pairs) == {("d01", "d03")}
+    assert pairs[("d01", "d03")] == 1.0
+    # and the signature filter removed the tokenless docs entirely
+    from pyspark.sql import functions as F
+
+    sigs = dd.minhash_signature(docs).filter(
+        F.col("sig")[0].isNotNull()
+    )
+    assert {r["doc_id"] for r in sigs.collect()} == {
+        "d01", "d03", "d04", "d06"
+    }
+
+
+def test_qvid_zero_dimension_frames_are_corrupt_sentinel():
+    """Round-4 review finding: a container declaring n>0 frames with
+    w==0 or h==0 passes the body-length check vacuously (n*0*3 == 0)
+    and used to emit NaN frame_mean_luma rows; it must hit the corrupt
+    sentinel instead."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from topicalcrawler_spark.analysis.media import (
+        QVID_MAGIC,
+        _sample_one,
+        decode_qvid,
+    )
+
+    bad = QVID_MAGIC + struct.pack(">HHHH", 0, 0, 5, 40) + zlib.compress(b"")
+    with _pytest.raises(ValueError):
+        decode_qvid(bad)
+    rows = _sample_one("vid-x", bad, 2)
+    assert rows == [("vid-x", -1, -1, 0, 0.0)]
+
+
+def test_audio_peak_full_scale_negative():
+    """Round-4 review finding: np.abs on raw int16 wraps -32768 to
+    -32768; the peak of a clip containing full-scale negative samples
+    must be 32768, and never negative."""
+    import numpy as np
+
+    from topicalcrawler_spark.analysis.media import (
+        _audio_features_one,
+        encode_qaud,
+    )
+
+    payload = encode_qaud(np.array([-32768, 1000], dtype=np.int16))
+    row = _audio_features_one("aud-x", payload)
+    assert row[1] is True
+    assert row[4] == 32768
+
+    payload = encode_qaud(np.array([-32768], dtype=np.int16))
+    assert _audio_features_one("aud-y", payload)[4] == 32768
+
+
+def test_stratified_sample_missing_bucket_raises(spark):
+    """Round-4 review finding: an omitted stratum key used to silently
+    drop the whole stratum (h_mod < NULL filters everything); it must
+    raise instead, with explicit 0 as the opt-out."""
+    import pytest as _pytest
+
+    from topicalcrawler_spark.analysis.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [("d1", "x " * 10), ("d2", "y " * 200)], "doc_id string, text string"
+    )
+    with _pytest.raises(ValueError, match="long"):
+        stratified_sample(docs, {"short": 50, "medium": 20})
+    # explicit zero excludes the stratum without raising
+    got = stratified_sample(
+        docs, {"short": 100, "medium": 100, "long": 0}
+    ).collect()
+    assert {r["bucket"] for r in got} <= {"short", "medium"}

@@ -663,3 +663,46 @@ def test_robots_engine_oracle_randomized_parity(spark):
     }
     for i, (rules, path) in enumerate(cases):
         assert got_ok[i] == robots_allows(rules, path), (i, rules, path)
+
+
+def test_host_path_exprs_match_oracle_on_weird_urls(spark):
+    """Round-4 review finding: parse_url is java.net.URI-based and
+    returns NULL for URLs the URI grammar rejects but the real web
+    serves ('|', space, '{', backslash in paths) — the oracle's
+    host_of/path_of regexes extract components anyway, so the engine
+    exprs must be their exact twins (NULL host would lump such rows
+    into one politeness group and skip their robots join)."""
+    import pandas as pd
+
+    from topicalcrawler_spark.functions import host_expr, path_expr
+
+    urls = [
+        "http://a.test/p|q",
+        "http://a.test/p q",
+        "http://a.test/{x}",
+        "http://a.test/p\\q",
+        "http://a.test/p^r",
+        "notaurl",
+        None,
+        "ftp://x.test/a",
+        "http://user@h.test:8080/x",
+        "http://h.test",
+        "http://h.test:8443/x?b=2",
+        "https://host-9.test/a/b/c?x=1",
+        "http://h.test/?",
+        "",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(urls)), "url_canon": urls}),
+        "i int, url_canon string",
+    )
+    got = {
+        r["i"]: (r["h"], r["p"])
+        for r in df.select(
+            "i",
+            host_expr("url_canon").alias("h"),
+            path_expr("url_canon").alias("p"),
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == (host_of(u), path_of(u)), (u, got[i])

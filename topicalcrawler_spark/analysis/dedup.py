@@ -203,7 +203,18 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard).
     """
     n_bands = num_perm // rows_per_band
-    sig = minhash_signature(docs, num_perm)
+    # NULL-text docs (failed fetches) have all-NULL signatures
+    # (array_min over a NULL token array), so EVERY such doc would
+    # share the all-empty band key in EVERY band: 100k failed fetches →
+    # one LSH bucket → ~n²/2 candidate rows per band before
+    # verification discards them (their jaccard is NULL).  They can
+    # never form a true pair, so drop them before banding; output is
+    # unchanged, the quadratic bucket never forms.  (Empty-STRING docs
+    # are NOT dropped: they tokenize to {''} — same as the oracle's
+    # string_split — and pair legitimately with other empty docs.)
+    sig = minhash_signature(docs, num_perm).filter(
+        F.col("sig")[0].isNotNull()
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(

@@ -72,10 +72,19 @@ def chunk_explode(
     hamming < n_chunks must agree on at least one chunk (pigeonhole),
     so an equi-join on (c, chunk) is a LOSSLESS candidate generator.
     The one banding implementation shared by the SimHash
-    (analysis.dedup.simhash_pairs) and sign-LSH
-    (analysis.similarity.lsh_topk) paths — two hand-copied variants
-    could silently drift on the shift/mask math."""
-    mask_plus1 = 1 << chunk_bits
+    (analysis.dedup.simhash_pairs), sign-LSH
+    (analysis.similarity.lsh_topk), and image-phash
+    (operators.images.phash_near_dup_pairs) paths — hand-copied
+    variants could silently drift on the shift/mask math.
+
+    shiftrightUNSIGNED + AND, not arithmetic shiftright + ``%``: the
+    two agree on non-negative signatures (SimHash/sign-LSH are 60-bit
+    positive), but image phashes occupy the full signed int64 range —
+    an arithmetic shift sign-extends the top chunks and ``%`` keeps the
+    dividend's sign, so two signatures differing ONLY in bit 63 could
+    alias to one chunk value (spurious candidates; recall unaffected
+    but bucket sizes inflate)."""
+    mask = (1 << chunk_bits) - 1
     return df.select(
         id_col,
         sig_col,
@@ -83,9 +92,8 @@ def chunk_explode(
             F.array(
                 *[
                     F.expr(
-                        f"shiftright({sig_col}, {c * chunk_bits})"
-                        f" % {mask_plus1}"
-                    )
+                        f"shiftrightunsigned({sig_col}, {c * chunk_bits})"
+                    ).bitwiseAND(F.lit(mask))
                     for c in range(n_chunks)
                 ]
             )

@@ -152,6 +152,11 @@ def decode_qvid(data: bytes) -> tuple[int, np.ndarray]:
     raw = zlib.decompress(data[12:])
     if len(raw) != n * h * w * 3:
         raise ValueError("qvid body length mismatch")
+    if n and (h == 0 or w == 0):
+        # zero-dimension frames satisfy the length check vacuously
+        # (n*0*3 == 0 == len('')), but downstream luma.mean() over an
+        # empty array yields NaN rows instead of the corrupt sentinel
+        raise ValueError("qvid zero-dimension frames")
     return interval_ms, np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w, 3)
 
 
@@ -228,7 +233,10 @@ def _audio_features_one(media_id: str, payload: bytes) -> tuple:
         return (media_id, False, -1, 0.0, 0, 0)
     x = pcm.astype(np.float64)
     rms = round(float(np.sqrt(np.mean(x * x))), 4) if len(x) else 0.0
-    peak = int(np.abs(pcm).max()) if len(pcm) else 0
+    # abs on the widened copy, never on the raw int16: np.abs(-32768)
+    # wraps to -32768 in int16 (full-scale negative — common in clipped
+    # audio), which would report a wrong or negative peak
+    peak = int(np.abs(x).max()) if len(pcm) else 0
     zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
     return (
         media_id,

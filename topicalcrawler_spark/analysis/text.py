@@ -187,6 +187,16 @@ def stratified_sample(
     stratum.  Pure Catalyst, zero shuffle, exactly replayable in SQL.
     Output: (doc_id, bucket, h_mod)."""
     pct = pct_by_bucket or {"short": 50, "medium": 20, "long": 10}
+    missing = {"short", "medium", "long"} - pct.keys()
+    if missing:
+        # element_at(map, absent_key) is NULL and `h_mod < NULL` is
+        # NULL, so an omitted bucket would silently drop its whole
+        # stratum — a corpus-mix misconfiguration must fail loudly
+        # (pass an explicit 0 to exclude a stratum on purpose)
+        raise ValueError(
+            f"pct_by_bucket missing strata {sorted(missing)}; "
+            "pass 0 to exclude a stratum explicitly"
+        )
     bucket = (
         F.when(F.length("text") < 120, "short")
         .when(F.length("text") < 300, "medium")

@@ -214,9 +214,13 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 _DCT32 = None
 
 
-def _dct_matrix(n: int = 32) -> np.ndarray:
+def _dct_matrix() -> np.ndarray:
+    # 32×32 only, by design (the phash pipeline's one size) — a size
+    # parameter here would silently return the cached 32×32 matrix for
+    # any other requested n once warm
     global _DCT32
     if _DCT32 is None:
+        n = 32
         k = np.arange(n)[:, None].astype(np.float64)
         i = np.arange(n)[None, :].astype(np.float64)
         _DCT32 = np.cos(np.pi * k * (2 * i + 1) / (2 * n))

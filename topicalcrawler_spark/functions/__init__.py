@@ -64,16 +64,41 @@ def with_canon_and_relevance(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# The literal twins of core/urlcanon.py's _HOST_RE / _URL_RE — NOT
+# parse_url: Spark's parse_url is java.net.URI-based and returns NULL
+# for URLs the URI grammar rejects but the real web serves ('|', space,
+# '{', backslash in a path).  canon_url's regex keeps such URLs and the
+# oracle's host_of/path_of extract their components, so a parse_url
+# NULL would route those rows to a NULL host (politeness lumps them
+# into one group, the robots join misses) — a trace divergence on the
+# first weird-but-real link.  The regex runs JVM-side (RLike/
+# RegExpExtract, codegen) just like parse_url.
+_HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:]*)"
+_PATH_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
 def host_expr(url_canon: str | Column = "url_canon") -> Column:
-    """P3 — host extraction, JVM-side (parse_url strips any :port)."""
+    """P3 — host extraction, JVM-side; exact twin of urlcanon.host_of
+    (NULL → NULL, non-URL → '', ':port' excluded from the capture)."""
     c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
-    return F.lower(F.parse_url(c, F.lit("HOST")))
+    return F.regexp_extract(c, _HOST_REGEX, 1)
 
 
 def path_expr(url_canon: str | Column = "url_canon") -> Column:
-    """Path component for robots matching; empty path normalized to '/'."""
+    """Path component for robots matching; exact twin of
+    urlcanon.path_of (NULL → NULL, non-URL → '', empty path → '/')."""
     c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
-    return F.coalesce(F.nullif(F.parse_url(c, F.lit("PATH")), F.lit("")), F.lit("/"))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(
+            c.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+            F.coalesce(
+                F.nullif(F.regexp_extract(c, _PATH_REGEX, 1), F.lit("")),
+                F.lit("/"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
 
 
 def url_hash_expr(url_canon: str | Column = "url_canon") -> Column:

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..analysis.hashing import chunk_explode
 from ..core.imagecodec import decode, phash64
 
 
@@ -80,24 +81,16 @@ def phash_near_dup_pairs(
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
     )
-    bands = base.select(
-        "id",
-        "ph",
-        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_id"),
-    ).withColumn(
-        "band_val",
-        # expr form: the python shiftrightunsigned wrapper only takes a
-        # literal int shift, but the Catalyst expression takes a column
-        F.expr(f"shiftrightunsigned(ph, band_id * {band_bits})").bitwiseAND(
-            F.lit((1 << band_bits) - 1)
-        ),
-    )
+    # the shared pigeonhole banding (analysis.hashing.chunk_explode —
+    # one implementation for SimHash / sign-LSH / phash, unsigned-shift
+    # semantics correct for full-range signed-int64 phashes)
+    bands = chunk_explode(base, "ph", "id", n_bands, band_bits)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

@@ -1063,7 +1063,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def url_host_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2/P3 ⊕ — host extraction (parse_url) + 60-bit canonical-URL
+    """P2/P3 ⊕ — host extraction (urlcanon-twin regex, JVM-side) + 60-bit canonical-URL
     hash; the oracle builds the host string independently."""
     from .functions import canon_udf, host_expr
 
