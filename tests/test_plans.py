@@ -192,3 +192,34 @@ def test_langid_quality_is_single_scan_no_join(spark):
     # count scans in the tree block only
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
+
+
+def test_ivf_topk_cell_join_is_broadcast_pre_aqe(spark):
+    """The probed-query side of ivf_topk's cell join must be broadcast
+    by HINT, not rescued by AQE: both sides come out of mapInPandas
+    with no size stats, and a sort-merge fallback would hash-shuffle
+    the whole corpus on a ~n_cells-distinct key (the worst exchange in
+    the IVF path).  Checked with AQE off so only the static plan
+    counts."""
+    from topicalcrawler_spark.analysis import similarity as sim
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(100, [1.0, 0.5])], "query_id long, qvec array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [4.0, 1.0])],
+            "cell int, centroid array<double>",
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            sim.ivf_topk(emb, q, cents)._jdf.queryExecution(), "simple"
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

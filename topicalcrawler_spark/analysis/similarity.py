@@ -310,6 +310,8 @@ def lsh_signatures(
     def sign(batches):
         H = b_planes.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # np.stack raises on an empty batch
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             bits = (M @ H) >= 0.0
             pdf = pdf[["vec_id"]].copy()
@@ -423,11 +425,21 @@ def ivf_build(
         F.col("embedding").cast("array<double>").alias("e"),
         (F.col("vec_id") % n_cells).cast("int").alias("cell"),
     )
+    # persist each Lloyd step's assignment: _assign_cells collects the
+    # centroid table eagerly, and without the cache that collect
+    # recomputes EVERY earlier step's mapInPandas assignment from the
+    # source — O(iters²) corpus passes instead of O(iters).  Values are
+    # unchanged (the cache only cuts lineage); entries are freed below
+    # once the final centroids are materialized.
+    cached: list[DataFrame] = []
     for _ in range(iters):
         cents = _cell_centroids(assigned)
-        assigned = _assign_cells(
-            assigned.select("vec_id", "e"), cents, "e", "vec_id"
-        ).select("vec_id", "e", "cell")
+        assigned = (
+            _assign_cells(assigned.select("vec_id", "e"), cents, "e", "vec_id")
+            .select("vec_id", "e", "cell")
+            .persist()
+        )
+        cached.append(assigned)
     final = _cell_centroids(assigned)
     # materialize the (tiny: n_cells × dim) index ONCE: every
     # _assign_cells consumer collects the centroid table, and a lazy
@@ -435,6 +447,8 @@ def ivf_build(
     # assign + query assign = 2 extra k-means runs).  Doubles survive
     # collect/createDataFrame exactly, so results are unchanged.
     rows = [(int(r["cell"]), list(r["centroid"])) for r in final.collect()]
+    for c in cached:
+        c.unpersist()
     return emb.sparkSession.createDataFrame(
         rows, "cell int, centroid array<double>"
     )
@@ -459,8 +473,15 @@ def ivf_topk(
         _with_qnorm(queries.select("query_id", "qvec")), centroids,
         "qvec", "query_id", nprobe=nprobe,
     ).select("query_id", "qvec", "qnorm", "cell")
+    # broadcast the (small, by this module's contract) probed query
+    # side EXPLICITLY: qcells comes out of mapInPandas with no size
+    # stats, so without the hint the pre-AQE plan is a sort-merge join
+    # that shuffles the entire corpus on a ~n_cells-distinct key — AQE
+    # usually rescues the join at runtime, but only after the corpus
+    # side's shuffle map write is already scheduled, and a 16-value
+    # hash partitioning of 10^10 rows is the worst possible exchange
     scored = (
-        corpus_cells.join(qcells, "cell")
+        corpus_cells.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
