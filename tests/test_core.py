@@ -691,6 +691,13 @@ def test_host_path_exprs_match_oracle_on_weird_urls(spark):
         "https://host-9.test/a/b/c?x=1",
         "http://h.test/?",
         "",
+        # anchor-rejecting but prefix-accepting strings: a fully
+        # anchored oracle regex fails these (newline stops `.`/`$`)
+        # while the engine's prefix regex extracts the path — both
+        # sides must use the prefix form (urlcanon._PATH_RE)
+        "http://h.test/a#fr\nag",
+        "http://h.test/b?q=1\n&r=2",
+        "http://h.test/c\nd",
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"i": range(len(urls)), "url_canon": urls}),

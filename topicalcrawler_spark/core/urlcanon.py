@@ -88,6 +88,7 @@ def canon_series(s: pd.Series) -> pd.Series:
 
 
 _HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:]*)")
+_PATH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)")
 
 
 def host_of(url_canon: str) -> str:
@@ -99,10 +100,20 @@ def host_of(url_canon: str) -> str:
 
 
 def path_of(url_canon: str) -> str:
-    """Extract the path component (for robots prefix matching)."""
+    """Extract the path component (for robots prefix matching).
+
+    Prefix regex (``_PATH_RE``), NOT the fully-anchored ``_URL_RE``:
+    the engine's JVM-side ``functions.path_expr`` is this function's
+    literal twin, and an anchored form diverges from it on strings the
+    anchor rejects but the prefix accepts — e.g. a newline inside a
+    fragment (``_URL_RE``'s ``#.*$`` stops at ``\\n``, failing the whole
+    match → ``""`` here while the prefix regex still extracts the
+    path).  Such URLs survive canon_url un-canonicalized yet pass the
+    http(s) scheme gate, so both sides MUST extract identically or the
+    robots join diverges on the first weird-but-real link."""
     if url_canon is None:
         return None
-    m = _URL_RE.match(url_canon)
+    m = _PATH_RE.match(url_canon)
     if m is None:
         return ""
-    return m.group(3) or "/"
+    return m.group(1) or "/"

@@ -64,7 +64,7 @@ def with_canon_and_relevance(
     return df.mapInPandas(run, schema=out_schema)
 
 
-# The literal twins of core/urlcanon.py's _HOST_RE / _URL_RE — NOT
+# The literal twins of core/urlcanon.py's _HOST_RE / _PATH_RE — NOT
 # parse_url: Spark's parse_url is java.net.URI-based and returns NULL
 # for URLs the URI grammar rejects but the real web serves ('|', space,
 # '{', backslash in a path).  canon_url's regex keeps such URLs and the
