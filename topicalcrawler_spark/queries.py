@@ -459,21 +459,35 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_pairs_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 ⊕ — range/theta join with an equi band key (user_id) so the
-    planner picks a hash join, never a broadcast-nested-loop."""
+    """J6 ⊕ — range/theta join with a COMPOSITE equi band key
+    (user_id, 5-minute time bucket) so the planner picks a hash join
+    (never broadcast-nested-loop) AND per-key group size is bounded by
+    a user's activity inside one window, not their whole history — on
+    user_id alone, one mega-user (a bot account at the 100 TB design
+    point) makes an O(n_u^2) sort-merge group.  The left side explodes
+    into its own bucket and the next (2x row cost on one side); every
+    qualifying pair matches EXACTLY one of the two, because
+    ts_b - ts_a in (0, 300s] forces floor(ts_b/300) - floor(ts_a/300)
+    into {0, 1} — no post-join dedup needed."""
     e = scan(spark, "events", sf_dir)
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(300))  # noqa: E731
     a = e.select(
         F.col("user_id").alias("u_a"), F.col("ts").alias("ts_a"),
         F.col("event_type").alias("type_a"),
+        F.explode(
+            F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+        ).alias("bkt"),
     )
     b = e.select(
         F.col("user_id").alias("u_b"), F.col("ts").alias("ts_b"),
         F.col("event_type").alias("type_b"),
+        bucket(F.col("ts")).alias("bkt_b"),
     )
     return (
         a.join(
             b,
             (F.col("u_a") == F.col("u_b"))
+            & (F.col("bkt") == F.col("bkt_b"))
             & (F.col("ts_b") > F.col("ts_a"))
             & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
             "inner",
