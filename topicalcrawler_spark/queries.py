@@ -522,32 +522,56 @@ def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 ⊕ — as-of join: for each purchase, the latest strictly-prior
-    view by the same user (window row_number idiom)."""
+    view by the same user.
+
+    Union-and-window, NOT join-then-rank: the rank idiom materializes
+    the full per-user purchase x view product before the window drops
+    all but one row — O(P_u * V_u) per user, which one hyperactive
+    user blows up at the 100 TB design point.  Instead both event
+    kinds are unioned into one stream sorted by (ts, kind, event_id)
+    within each user, and a running ``last(view, ignorenulls)`` carries
+    the latest view forward — one shuffle on user_id, one sort, no
+    join, O(n log n) total and O(1) window state.  Ordering encodes
+    the exact tie rules: kind=0 (purchase) before kind=1 (view) at
+    equal ts keeps same-instant views OUT of the frame (the bound is
+    strictly prior), and equal-ts views order by event_id ascending so
+    the running last picks the max event_id, matching the oracle's
+    ``ORDER BY v.ts DESC, v.event_id DESC`` rank.  The crawl plane's
+    robots as-of (operators.robots.latest_robots) keeps the rank idiom
+    — there the right side is one row per host, where rank IS the
+    cheap shape."""
     e = scan(spark, "events", sf_dir)
     p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("u"),
-        F.col("ts").alias("pts"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("struct<vts:timestamp_ntz,vid:bigint>").alias("view"),
     )
     v = e.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("prior_view_id"),
         F.col("user_id").alias("u"),
-        F.col("ts").alias("vts"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.struct(
+            F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+        ).alias("view"),
     )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("vts").desc(), F.col("prior_view_id").desc()
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        p.join(v, ["u"])
-        .filter(F.col("vts") < F.col("pts"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        p.unionByName(v)
+        .withColumn("pv", F.last("view", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 0) & F.col("pv").isNotNull())
         .select(
-            "purchase_id",
-            "prior_view_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("pv.vid").alias("prior_view_id"),
             F.round(
-                F.col("pts").cast("timestamp").cast("double")
-                - F.col("vts").cast("timestamp").cast("double"),
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("pv.vts").cast("timestamp").cast("double"),
                 6,
             ).alias("gap_s"),
         )
