@@ -126,6 +126,36 @@ def _assign_cells(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k of (query_id, vec_id, cosine) rows without
+    a whole-candidate-set window partition.  The single-window form
+    puts EVERY scored row for a query into one task (WindowExec holds
+    the full partition) — the entire corpus per query for brute force,
+    nprobe/n_cells of it for IVF: fatal at the 10^10 design point and
+    the same hazard the politeness scheduler's salted two-stage top-k
+    exists for.  Stage 1 ranks within (query_id, input partition), so
+    a group is bounded by one scan partition (maxPartitionBytes), and
+    keeps k rows per group; stage 2's global window then sees at most
+    k x n_partitions rows per query.  Results are IDENTICAL to the
+    single window: every global top-k row is necessarily within the
+    local top-k of whichever partition holds it (ties fully broken by
+    vec_id, so ranks are deterministic), and the result does not
+    depend on the partition assignment — spark_partition_id being
+    retry-dependent is therefore harmless."""
+    order = (F.col("cosine").desc(), F.col("vec_id").asc())
+    w_local = Window.partitionBy("query_id", "pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.select("query_id", "vec_id", "cosine")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= k)
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -150,14 +180,7 @@ def cosine_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cosine", "rnk")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -380,14 +403,7 @@ def lsh_topk(
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cosine", "rnk")
-    )
+    return _topk_per_query(scored, k)
 
 
 _FXP = 1 << 20  # fixed-point scale for order-independent centroid sums
@@ -492,11 +508,4 @@ def ivf_topk(
             ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cosine", "rnk")
-    )
+    return _topk_per_query(scored, k)
