@@ -438,3 +438,45 @@ def test_stratified_sample_missing_bucket_raises(spark):
         docs, {"short": 100, "medium": 100, "long": 0}
     ).collect()
     assert {r["bucket"] for r in got} <= {"short", "medium"}
+
+
+def test_two_stage_topk_equals_single_window(spark):
+    """The two-stage per-query top-k (_topk_per_query, the 100-TB-safe
+    form: local rank within (query, input partition), then a global
+    window over only the survivors) must return EXACTLY the rows and
+    ranks of the naive single window it replaced — across k smaller,
+    equal, and larger than any candidate group, under a repartition
+    that scatters every query's candidates over many partitions."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    for k in (1, 10, 10**6):
+        got = sim.cosine_topk(emb.repartition(16), queries, k=k)
+        # literal single-window reference over the same scored rows
+        base = sim.with_norm(emb).select("vec_id", "embedding", "norm")
+        scored = (
+            base.crossJoin(F.broadcast(sim._with_qnorm(queries)))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    sim._dot_expr(F.col("embedding"), F.col("qvec"))
+                    / (F.col("norm") * F.col("qnorm")),
+                    6,
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        ref = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cosine", "rnk")
+        )
+        g = {tuple(r) for r in got.collect()}
+        r = {tuple(r) for r in ref.collect()}
+        assert g == r, f"k={k}: {len(g ^ r)} differing rows"
