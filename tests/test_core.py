@@ -66,6 +66,23 @@ def test_host_and_path():
     assert path_of("http://h.test/a/b?x=1") == "/a/b"
 
 
+def test_host_of_bracketed_ipv6():
+    """Round-4 ADVICE: the plain-host branch stops at the first ':'
+    inside a bracketed IPv6 address, extracting host '[' — every IPv6
+    literal then shares one politeness group and misses its robots
+    rows.  The bracketed alternative must win, port still excluded."""
+    assert host_of("http://[::1]/x") == "[::1]"
+    assert host_of("http://[::1]:8080/x") == "[::1]"
+    assert host_of("http://[2001:db8::1]/a?b=2") == "[2001:db8::1]"
+    assert host_of("http://user@[::1]:9/x") == "[::1]"
+    assert path_of("http://[::1]:8080/x/y") == "/x/y"
+    # canon keeps the brackets and strips only the default port
+    assert canon_url("http://[::1]:80/x") == "http://[::1]/x"
+    assert canon_url("HTTP://[2001:DB8::1]:8080/x") == (
+        "http://[2001:db8::1]:8080/x"
+    )
+
+
 # ------------------------------------------------------------- codecs (U4)
 
 
@@ -698,6 +715,13 @@ def test_host_path_exprs_match_oracle_on_weird_urls(spark):
         "http://h.test/a#fr\nag",
         "http://h.test/b?q=1\n&r=2",
         "http://h.test/c\nd",
+        # bracketed IPv6 literals (round-4 ADVICE): both twins must
+        # extract the bracketed form, not stop at the inner ':'
+        "http://[::1]/x",
+        "http://[::1]:8080/x",
+        "http://[2001:db8::1]/a?b=2",
+        "http://user@[::1]:9/x",
+        "https://[::1]",
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"i": range(len(urls)), "url_canon": urls}),

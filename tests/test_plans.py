@@ -52,6 +52,7 @@ def test_band_join_is_not_nested_loop(spark):
 def test_whole_stage_codegen_on_agg_path(spark):
     # AQE wraps the plan before execution, hiding codegen subtrees
     # from explain — disable it just for this compile-time check
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = REGISTRY["pricing_summary"].fn(spark, SF)
@@ -59,7 +60,7 @@ def test_whole_stage_codegen_on_agg_path(spark):
             df._jdf.queryExecution(), "codegen"
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert "WholeStageCodegen subtrees" in plan
     n = int(plan.split("WholeStageCodegen subtrees")[0].rsplit("Found", 1)[1])
     assert n >= 1
@@ -98,6 +99,7 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
     )
     write_bucketed(a, "bucketdb.t_a", "doc_id", 8)
     write_bucketed(b, "bucketdb.t_b", "doc_id", 8)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -109,7 +111,7 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
         )
         n = j.count()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bucketdb.t_a")
         spark.sql("DROP TABLE IF EXISTS bucketdb.t_b")
@@ -203,6 +205,7 @@ def test_ivf_topk_cell_join_is_broadcast_pre_aqe(spark):
     counts."""
     from topicalcrawler_spark.analysis import similarity as sim
 
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         emb = spark.createDataFrame(
@@ -222,4 +225,18 @@ def test_ivf_topk_cell_join_is_broadcast_pre_aqe(spark):
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_registry_packed_to_driver_checking_window():
+    """Guard against the r02 regression class: the driver checks exactly
+    the first 50 registry entries, so any future packing that silently
+    pushes an entry past the window would un-gate it.  Every entry must
+    also carry an oracle (the weaker rows-only check is reserved for
+    genuinely non-SQL-expressible ops, of which the registry currently
+    has none)."""
+    from topicalcrawler_spark.queries import oracle_sql, queries
+
+    q, o = queries(), oracle_sql()
+    assert len(q) == 50, sorted(q)
+    assert set(q) == set(o), set(q) ^ set(o)

@@ -414,3 +414,29 @@ def test_drain_bucket_chunks_nat_order_independent():
     # no timestamps at all -> None (NULL batch_ts), not NaT
     n, mx = st._drain_bucket_chunks([null_chunk, empty_chunk])
     assert mx is None and n == 2
+
+
+def test_stream_interval_join_entry_leaves_no_memory_sink_views(spark):
+    """Round-4 verdict finding: each stream_interval_join_events
+    invocation minted a q_ssjoin_N memory-sink temp view that was never
+    dropped, so bench reps / registry runs accumulated one cached sink
+    table per call in the shared session.  The entry must drain, hand
+    back a materialized result, and leave the catalog clean — and stay
+    deterministic across invocations."""
+    from topicalcrawler_spark.queries import REGISTRY
+
+    fn = REGISTRY["stream_interval_join_events"].fn
+
+    def ssjoin_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("q_ssjoin_")
+        }
+
+    assert ssjoin_views() == set()
+    r1 = sorted(map(tuple, fn(spark, SF).collect()))
+    assert ssjoin_views() == set()
+    r2 = sorted(map(tuple, fn(spark, SF).collect()))
+    assert ssjoin_views() == set()
+    assert r1 == r2 and len(r1) > 0

@@ -444,10 +444,16 @@ def ivf_build(
     # persist each Lloyd step's assignment: _assign_cells collects the
     # centroid table eagerly, and without the cache that collect
     # recomputes EVERY earlier step's mapInPandas assignment from the
-    # source — O(iters²) corpus passes instead of O(iters).  Values are
-    # unchanged (the cache only cuts lineage); entries are freed below
-    # once the final centroids are materialized.
-    cached: list[DataFrame] = []
+    # source — O(iters²) corpus passes instead of O(iters).  Each new
+    # generation is materialized eagerly (count() — the same single
+    # corpus pass the next step's centroid collect would run; later
+    # reads hit the cache) so the PREVIOUS generation can be freed
+    # immediately: peak cache footprint is 2 × corpus, not iters ×
+    # corpus.  Freeing it lazily instead would be wrong-er than it
+    # looks — the new generation's lineage runs through the old one,
+    # so unpersisting before materialization recomputes the whole
+    # Lloyd chain.
+    prev: DataFrame | None = None
     for _ in range(iters):
         cents = _cell_centroids(assigned)
         assigned = (
@@ -455,7 +461,10 @@ def ivf_build(
             .select("vec_id", "e", "cell")
             .persist()
         )
-        cached.append(assigned)
+        assigned.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
     final = _cell_centroids(assigned)
     # materialize the (tiny: n_cells × dim) index ONCE: every
     # _assign_cells consumer collects the centroid table, and a lazy
@@ -463,8 +472,8 @@ def ivf_build(
     # assign + query assign = 2 extra k-means runs).  Doubles survive
     # collect/createDataFrame exactly, so results are unchanged.
     rows = [(int(r["cell"]), list(r["centroid"])) for r in final.collect()]
-    for c in cached:
-        c.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return emb.sparkSession.createDataFrame(
         rows, "cell int, centroid array<double>"
     )

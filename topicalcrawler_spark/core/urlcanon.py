@@ -87,7 +87,13 @@ def canon_series(s: pd.Series) -> pd.Series:
     return s.map(canon_url, na_action="ignore")
 
 
-_HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:]*)")
+# The bracketed-IPv6 alternative must come first: without it the
+# plain-host branch stops at the first ':' INSIDE the brackets and
+# http://[::1]/x extracts host '[' — every IPv6 literal then collapses
+# into one politeness group and its robots rows can never join.
+_HOST_RE = re.compile(
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/?#:]*)"
+)
 _PATH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)")
 
 

@@ -73,7 +73,9 @@ def with_canon_and_relevance(
 # into one group, the robots join misses) — a trace divergence on the
 # first weird-but-real link.  The regex runs JVM-side (RLike/
 # RegExpExtract, codegen) just like parse_url.
-_HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/?#:]*)"
+# Bracketed-IPv6 alternative first (twin of _HOST_RE): otherwise the
+# plain branch stops at the ':' inside '[::1]' and extracts host '['.
+_HOST_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/?#:]*)"
 _PATH_REGEX = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 

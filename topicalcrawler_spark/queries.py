@@ -470,7 +470,29 @@ def event_pairs_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_b - ts_a in (0, 300s] forces floor(ts_b/300) - floor(ts_a/300)
     into {0, 1} — no post-join dedup needed."""
     e = scan(spark, "events", sf_dir)
-    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(300))  # noqa: E731
+    # The bucket must be a timezone-independent function of ts that is
+    # consistent with the (naive, for ntz) INTERVAL arithmetic in the
+    # range predicate.  unix_timestamp on a timestamp_ntz converts via
+    # the session timezone, so in a DST zone the epoch gap across a
+    # transition can exceed 300 s for a <5-min naive gap — the bucket
+    # equality would silently drop qualifying pairs.  For ntz, derive a
+    # naive epoch purely from calendar fields (every ntz day is exactly
+    # 86400 s, so this is an exact isomorphism of the ntz timeline and
+    # of its interval arithmetic); second-truncation is safe because a
+    # real gap ≤300 s keeps the truncated gap ≤300 s, preserving the
+    # bucket-diff ∈ {0,1} argument.  For instant timestamps,
+    # unix_timestamp IS the physical epoch — already tz-independent and
+    # consistent with the (physical) interval arithmetic.
+    if dict(e.dtypes).get("ts") == "timestamp_ntz":
+        def bucket(c):
+            naive_sec = (
+                F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("long")
+                * 86400
+                + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+            )
+            return F.floor(naive_sec / F.lit(300))
+    else:
+        bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(300))  # noqa: E731
     a = e.select(
         F.col("user_id").alias("u_a"), F.col("ts").alias("ts_a"),
         F.col("event_type").alias("type_a"),
@@ -1034,7 +1056,18 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SSJOIN_SEQ[0] += 1
     name = f"q_ssjoin_{_SSJOIN_SEQ[0]}"
     st.drain_to_memory(out, name, output_mode="append")
-    return spark.table(name).select("user_id", "l_id", "r_id")
+    # Materialize off the memory sink and DROP its temp view before
+    # returning: leaving it registered leaks one cached sink table per
+    # invocation (bench reps / registry runs accumulate them in the
+    # shared session).  The collected result is small (pairs within a
+    # 30-min window), and re-wrapping it keeps the returned DataFrame
+    # valid after the drop.
+    try:
+        res = spark.table(name).select("user_id", "l_id", "r_id")
+        rows, schema = res.collect(), res.schema
+    finally:
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 # =====================================================================
