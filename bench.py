@@ -4,7 +4,8 @@ synthetic-web crawl throughput measure.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "crawl": {"urls_per_sec": ..., "fetch_round_wall_s": ...}}
+   "crawl": {"urls_per_sec": ..., "fetch_round_wall_s": ...},
+   "sf1": {"queries": {...}, ...}}   # round-5 10x tier, separate key
 
 Every component runs best-of-2 in-process reps and reports the per-
 component minimum (value = sum of minima); `harness_wall_s` is the raw
@@ -47,7 +48,24 @@ HEADLINE = [
 ]
 
 
-def bench_queries(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+# sf1 tier subset (round 5): the heaviest PRODUCTION-path entries from
+# the full-registry sf1 sweep (BASELINE.md round-5 table) — scan+agg,
+# percentile sort, iterative graph contraction, LSH banding, the
+# composite-key band join.  The two entries dominated by their built-in
+# O(n²) exact-recall baselines are deliberately excluded: their cost is
+# the oracle baseline, not the production plan.
+SF1_HEADLINE = [
+    "pricing_summary",
+    "percentiles_lineitem",
+    "dup_components_docs",
+    "simhash_neardup_pairs",
+    "event_pairs_band_join",
+]
+
+
+def bench_queries(
+    spark, sf_dir: str, reps: int = 2, names: list[str] | None = None
+) -> dict[str, float]:
     """Per-query best-of-``reps`` wall time.
 
     Why minima (steal hedge): this VM's documented bursty hypervisor
@@ -61,7 +79,7 @@ def bench_queries(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
 
     times: dict[str, float] = {}
     for rep in range(reps):
-        for name in HEADLINE:
+        for name in names if names is not None else HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.monotonic()
             n = fn(spark, sf_dir).count()  # materialize the full result
@@ -121,6 +139,42 @@ def bench_crawl(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_sf1(spark) -> dict:
+    """Round-5 sf1 tier: the SF1_HEADLINE subset at the derived 10×
+    tier (tools/make_sf.py), reported SEPARATELY from the headline
+    value so the cross-round sf0.1 comparison stays untouched.  The
+    sf1 data is derived deterministically from the driver's sf0.1 on
+    first use (~1 min, one-time; gitignored localdata/)."""
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "localdata", "sf1"
+        ),
+    )
+    try:
+        if not os.path.isdir(sf1_dir):
+            from tools.make_sf import build
+
+            t0 = time.monotonic()
+            build(sf1_dir)
+            print(
+                f"  built {sf1_dir} in {time.monotonic() - t0:.0f}s",
+                file=sys.stderr,
+            )
+        s0 = _steal_ticks()
+        t0 = time.monotonic()
+        q = bench_queries(spark, sf1_dir, names=SF1_HEADLINE)
+        return {
+            "sf": 1.0,
+            "queries": q,
+            "value": round(sum(q.values()), 3),
+            "harness_wall_s": round(time.monotonic() - t0, 3),
+            "cpu_steal_core_s": round((_steal_ticks() - s0) / 100, 1),
+        }
+    except Exception as e:  # never fail the headline bench on the tier
+        return {"err": f"{type(e).__name__}: {e}"[:300]}
+
+
 def _steal_ticks() -> int:
     """Machine-wide hypervisor-steal ticks (col 9 of /proc/stat) —
     recorded into the output line because this VM's documented bursty
@@ -178,6 +232,8 @@ def main() -> None:
         (bench_crawl(spark, n_seeds=30_000, big_budget=1200) for _ in range(2)),
         key=lambda c: c["fetch_round_wall_s"],
     )
+    # round-5 sf1 tier — reported alongside, never folded into `value`
+    sf1 = bench_sf1(spark)
 
     print(
         json.dumps(
@@ -192,6 +248,7 @@ def main() -> None:
                 "cpus": cpus,
                 "crawl": crawl,
                 "crawl_large": crawl_large,
+                "sf1": sf1,
                 "cpu_steal_core_s": round((_steal_ticks() - s0) / 100, 1),
             }
         )

@@ -480,3 +480,134 @@ def test_two_stage_topk_equals_single_window(spark):
         g = {tuple(r) for r in got.collect()}
         r = {tuple(r) for r in ref.collect()}
         assert g == r, f"k={k}: {len(g ^ r)} differing rows"
+
+
+def test_jaccard_df_cap_bounds_candidate_volume_under_100x_hot_token(spark):
+    """Data-pipeline mirror of the crawl plane's hot-host skew stress
+    (round-4 verdict #4): one stop-word-grade token appears in EVERY
+    doc (~100x the df of any real token).  The df cap must bound the
+    postings self-join's per-token group sizes — candidate volume is
+    sum(df^2) over kept tokens — while the VERIFIED pair set stays
+    byte-identical to the uncapped exact path (pairs sharing only the
+    hot token sit far below any real threshold, so the cap cannot
+    change results, only the join's worst key)."""
+    from topicalcrawler_spark.analysis import tokens_expr
+
+    n_pairs, cap = 50, 10
+    rows = []
+    for i in range(n_pairs):
+        base = [f"t{i}_{j}" for j in range(9)]
+        rows.append((i, " ".join(base + ["hot"])))
+        # near-dup twin: one token swapped -> true jaccard 8/11 ≈ 0.727
+        rows.append((1000 + i, " ".join(base[:-1] + [f"x{i}", "hot"])))
+    for i in range(100):  # singletons sharing ONLY the hot token
+        rows.append((2000 + i, f"s{i}_a s{i}_b s{i}_c hot"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_docs = len(rows)
+
+    capped = sorted(
+        map(tuple, dd.jaccard_pairs(docs, threshold=0.7, max_df=cap).collect())
+    )
+    uncapped = sorted(
+        map(tuple, dd.jaccard_pairs(docs, threshold=0.7, max_df=None).collect())
+    )
+    assert capped == uncapped and len(capped) == n_pairs
+
+    # volume bound: per-token join groups are df^2; the hot token alone
+    # is n_docs^2 uncapped, and the cap must remove exactly that class
+    dfs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens_expr("text"))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    vol_all = sum(r["df"] ** 2 for r in dfs)
+    vol_kept = sum(r["df"] ** 2 for r in dfs if r["df"] <= cap)
+    assert vol_all >= n_docs**2  # the skew really is quadratic
+    assert vol_kept <= 8 * sum(r["df"] for r in dfs)  # kept: df<=cap<=10
+
+
+def test_band_join_hot_user_bounded_by_composite_key(spark, tmp_path):
+    """Crawl-plane hot-host stress, mirrored onto the J6 band join
+    (round-4 scale-audit rewrite): one bot account holds ~100x the
+    events of any normal user.  The composite (user, 5-min-bucket) band
+    key must bound per-key join groups by in-window activity — NOT the
+    bot's whole history — with results identical to the plain range
+    predicate (duckdb oracle on the same parquet)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from topicalcrawler_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for j in range(2000):  # hot user 0: 10s spacing -> <=30 per bucket
+        rows.append((eid, t0 + dt.timedelta(seconds=10 * j), 0,
+                     "view" if j % 3 else "click", float(j), "{}"))
+        eid += 1
+    for u in range(1, 51):  # normal users: 20 events each
+        for j in range(20):
+            rows.append((eid, t0 + dt.timedelta(seconds=97 * j + u), u,
+                         "view" if j % 2 else "purchase", float(j), "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+    q = REGISTRY["event_pairs_band_join"]
+    got = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(q.sql).fetchall()))
+    assert got == want and len(got) > 0
+
+    # boundedness: the largest (user, bucket) group the join can see is
+    # in-window activity (x2 for the explode), never the bot's 2000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    naive_sec = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+        + F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    max_group = (
+        ev.groupBy("user_id", F.floor(naive_sec / 300).alias("bkt"))
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert max_group <= 30  # vs 2000 on a user_id-only key
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q.fn(spark, sf_dir)._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_build_auto_cells_scale_with_corpus(spark):
+    """n_cells=None must hold cell SIZE ~constant (in-cell pair work
+    linear in the corpus): 8 cells below 2048 vectors — BIT-IDENTICAL
+    to the explicit small-SF default, which is what keeps the driver's
+    sf0.01 oracle rows unchanged — and ceil(n/256) above."""
+    assert [sim.auto_cells(n) for n in (1, 200, 2048, 2049, 20000)] == [
+        8, 8, 8, 9, 79,
+    ]
+    # invariance at the driver's scale: auto == explicit 8, same output
+    emb = _emb(spark)
+    explicit = sorted(
+        map(tuple, sim.ivf_build(emb, n_cells=8, iters=1).collect())
+    )
+    auto = sorted(
+        map(tuple, sim.ivf_build(emb, n_cells=None, iters=1).collect())
+    )
+    assert auto == explicit and len(auto) > 0

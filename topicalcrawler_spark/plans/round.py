@@ -111,6 +111,14 @@ class CrawlConfig:
     # url_hash stats.  Results identical (trace test pins it by forcing
     # seen_join_file_min_keys=0).
     seen_join_file_min_keys: int = 50_000_000
+    # bloom sizing headroom: a (re)build sizes bitmaps for
+    # capacity = n_seen * bloom_capacity_factor, and a full rebuild
+    # fires when n_seen outgrows that capacity (fpp would degrade past
+    # design otherwise — a perf matter only, the exact join stays the
+    # authority).  Parametrized so a design-point run can cross the
+    # rebuild threshold mid-run without simulating 50% table growth;
+    # the rebuild COST at a given n_seen is factor-independent.
+    bloom_capacity_factor: float = 1.5
     # compact+expire the seen table every K rounds (0 = auto).  Physical
     # maintenance only — never changes results (trace-test-pinned).
     # Auto: off while the seen table is small, but once the file-probed
@@ -713,7 +721,8 @@ def _crawl_round_impl(
                         shutil.rmtree(d, ignore_errors=True)
                 bst = {
                     "mode": "file", "dir": shard_dir, "k": k,
-                    "n_bits": n_bits, "capacity": int(n_seen * 1.5),
+                    "n_bits": n_bits,
+                    "capacity": int(n_seen * cfg.bloom_capacity_factor),
                 }
             probe = bloom_prefilter_files(links, shard_dir, cfg.n_shards, k)
         else:
@@ -732,7 +741,7 @@ def _crawl_round_impl(
                 bst = {
                     "mode": "bcast", "bits": shard_bits, "k": k,
                     "n_bits": len(shard_bits[0]) * 8,
-                    "capacity": int(n_seen * 1.5),
+                    "capacity": int(n_seen * cfg.bloom_capacity_factor),
                 }
             probe = bloom_prefilter(links, shard_bits, cfg.n_shards, k)
         bst["files"] = cur_files

@@ -1459,7 +1459,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (scale path) ⊕ — coarse-quantizer probe; emits the same
     derived recall assertion as the LSH path."""
     emb, queries = _ann_queries(spark, sf_dir)
-    cents = sim.ivf_build(emb, n_cells=8, iters=1)
+    # n_cells=None auto-sizes to constant cell size (8 at the
+    # driver's SFs, so oracle results are unchanged; linear probe
+    # cost at 10x tiers — see ivf_build)
+    cents = sim.ivf_build(emb, n_cells=None, iters=1)
     ann = sim.ivf_topk(emb, queries, cents, k=10, nprobe=3)
     exact = sim.cosine_topk(emb, queries, k=10)
     return _ann_assertion(ann, exact, k=10)
@@ -1620,7 +1623,10 @@ def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers >= 60% of exact pairs — deterministic with margin on the
     fixed sandbox embeddings."""
     emb = scan(spark, "embeddings", sf_dir)
-    cents = sim.ivf_build(emb, n_cells=8, iters=1)
+    # auto n_cells: constant cell size keeps in-cell pair work
+    # linear in the corpus (8 at the driver's SFs -> unchanged
+    # results; 209 s -> ~13 s at the 20k-vector sf1 tier)
+    cents = sim.ivf_build(emb, n_cells=None, iters=1)
     ann = sim.ivf_neardup(emb, cents, threshold=0.4, nprobe=2)
     exact = sim.cosine_neardup(emb, threshold=0.4)
     hits = ann.select("vec_a", "vec_b").join(
