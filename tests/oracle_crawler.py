@@ -18,11 +18,9 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 from topicalcrawler_spark.core.relevance import SEED_RELEVANCE_Q, score_q
-from topicalcrawler_spark.core.synthweb import MAX_LINKS, fetch_page
+from topicalcrawler_spark.core.synthweb import fetch_page
 from topicalcrawler_spark.core.urlcanon import canon_url, host_of, path_of
 from topicalcrawler_spark.sources import fixtures as fx
-
-SEQ_STRIDE = MAX_LINKS * 2
 
 
 @dataclass
@@ -81,7 +79,7 @@ def crawl(
 
     seen: set[str] = set()
     pending: list[Candidate] = []
-    for line_no, raw in enumerate(seed_urls, start=1):
+    for raw in seed_urls:
         uc = canon_url(raw)
         # P4 gates seeds exactly like out-links (engine: init_crawl) —
         # a non-http(s) or unparseable seeds line is never admitted to
@@ -90,9 +88,17 @@ def crawl(
             continue
         if uc in seen:
             continue
+        # discovery_seq is a dense ADMISSION counter (the engine's
+        # round.py module-docstring contract): seeds are numbered
+        # 1..n in file order among ADMITTED lines — gated/duplicate
+        # lines consume no slot, so |seen| always equals the max
+        # assigned seq and seqs stay bounded by total URLs discovered
+        # (the tree-path encoding this replaces grew bits per depth
+        # level and overflowed int64 — Python bignums here masked what
+        # the engine's longs could not hold)
         seen.add(uc)
         pending.append(
-            Candidate(uc, host_of(uc), 0, fx.T0, line_no, SEED_RELEVANCE_Q)
+            Candidate(uc, host_of(uc), 0, fx.T0, len(seen), SEED_RELEVANCE_Q)
         )
 
     trace: list[dict] = []
@@ -119,7 +125,9 @@ def crawl(
         residual = [c for c in allowed if c.url_canon not in selected_set]
 
         discovery_time = fx.T0 + timedelta(seconds=round_n)
-        batch: dict[str, Candidate] = {}
+        # batch maps url -> ((parent_seq, idx), candidate): the lex
+        # pair is both the T1 dedup tail and the admission-rank key
+        batch: dict[str, tuple[tuple[int, int], Candidate]] = {}
         for trace_seq, c in enumerate(selected, start=1):
             page = fetch_page(c.url_canon)
             trace.append(
@@ -147,21 +155,33 @@ def crawl(
                 ):
                     continue
                 cand = Candidate(
-                    uc,
-                    host_of(uc),
-                    depth,
-                    discovery_time,
-                    c.discovery_seq * SEQ_STRIDE + idx + 1,
-                    score_q(ctx),
+                    uc, host_of(uc), depth, discovery_time, 0, score_q(ctx)
                 )
-                # T1 batch dedup: keep the order-key minimum per URL
+                key = (c.discovery_seq, idx)
+                # T1 batch dedup: keep the minimum of (-relevance,
+                # depth, parent_seq, idx) — discovery_time is constant
+                # within a batch, and (parent_seq, idx) orders exactly
+                # as the admission seq will, so this is the old
+                # order-key minimum expressed pre-assignment
                 cur = batch.get(uc)
-                if cur is None or cand.order_key() < cur.order_key():
-                    batch[uc] = cand
+                if cur is None or (
+                    (-cand.relevance_q, cand.depth, key)
+                    < (-cur[1].relevance_q, cur[1].depth, cur[0])
+                ):
+                    batch[uc] = (key, cand)
 
-        new_links = [c for c in batch.values() if c.url_canon not in seen]
-        for c in new_links:
+        # dense admission numbering (engine mirror — round.py's
+        # global_rank over (parent_seq, idx) with base = n_seen):
+        # bounded forever by the total URLs discovered
+        new_links = [
+            (key, c) for key, c in batch.values() if c.url_canon not in seen
+        ]
+        new_links.sort(key=lambda t: t[0])
+        base = len(seen)
+        pending = residual
+        for i, (_, c) in enumerate(new_links, start=1):
+            c.discovery_seq = base + i
             seen.add(c.url_canon)
-        pending = residual + new_links
+            pending.append(c)
 
     return trace, seen

@@ -764,7 +764,10 @@ def test_dirty_seed_lines_are_gated_not_fetched(spark, tmp_path):
         "  ",  # blank-ish: load_seeds drops pure blanks pre-seq
     ]
     clean = fx.make_seeds()[:40]
-    # interleave so dirty lines consume discovery_seq slots mid-file
+    # interleave mid-file: dirty lines must not shift the dense
+    # admission numbering of the clean lines after them (they consume
+    # no discovery_seq slot — the engine's init renumber and the
+    # oracle's admission counter must agree on that)
     lines = clean[:10] + dirty[:2] + clean[10:25] + dirty[2:] + clean[25:]
     seeds_path = str(tmp_path / "seeds.txt")
     with open(seeds_path, "w") as f:
@@ -778,8 +781,8 @@ def test_dirty_seed_lines_are_gated_not_fetched(spark, tmp_path):
     ]
     sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
 
-    # oracle sees the same non-blank lines in the same order (its seq
-    # is the line number among non-blank lines, like load_seeds)
+    # oracle sees the same non-blank lines in the same order (both
+    # sides assign dense admission seqs over the lines they admit)
     oracle_lines = [ln for ln in lines if ln.strip()]
     otrace_rows, oseen = oracle_crawler.crawl(oracle_lines, 2)
     otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace_rows]
@@ -790,3 +793,31 @@ def test_dirty_seed_lines_are_gated_not_fetched(spark, tmp_path):
         assert all(
             u.startswith(("http://", "https://")) for u in urls
         ), "a dirty seed leaked through the gate"
+
+
+def test_discovery_seq_is_bounded_dense_admission_counter(spark, tmp_path):
+    """Round-5 design-point overflow regression (round.py module
+    docstring): discovery_seq must be a dense ADMISSION counter.  The
+    old tree-path encoding (parent_seq*stride + idx + 1) grew
+    log2(stride) bits per depth level and overflowed int64 at round 6
+    of the 60M-key design-point run — the pure-Python oracle's bignums
+    masked it at small SF, so this pins the engine-side invariants
+    directly: every seq ever assigned lies in [1, n_seen], and the
+    seqs visible across trace + pending frontier are pairwise distinct
+    (each admitted URL is fetched at most once and pending at most
+    once)."""
+    from topicalcrawler_spark import icelite
+
+    strace, sseen, cfg = _spark_crawl(spark, tmp_path, 3, max_depth=8)
+    trace_seqs = [t[6] for t in strace]  # TRACE_COLS[6] = discovery_seq
+    frontier_seqs = [
+        r["discovery_seq"]
+        for r in icelite.read_snapshot(spark, cfg.table("frontier"))
+        .select("discovery_seq")
+        .collect()
+    ]
+    seqs = trace_seqs + frontier_seqs
+    n_seen = len(sseen)
+    assert seqs and min(seqs) >= 1 and max(seqs) <= n_seen
+    assert len(set(trace_seqs)) == len(trace_seqs)
+    assert len(set(frontier_seqs)) == len(frontier_seqs)

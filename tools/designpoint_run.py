@@ -128,11 +128,14 @@ def main() -> None:
                  ).cast("int"),
             )
             .withColumn("discovery_time", F.lit(fx.T0))
-            .withColumn(
-                "discovery_seq",
-                (F.xxhash64(F.col("url_canon")).bitwiseAND(F.lit((1 << 40) - 1))
-                 ).cast("long"),
-            )
+            # dense admission seqs 1..n_frontier (the round.py seq
+            # contract: every existing seq <= n_seen, so a round's new
+            # links — numbered from base = n_seen — can never collide.
+            # The previous 40-bit-hash seqs fed the old tree-path
+            # encoding's per-depth multiply until it overflowed int64
+            # at round 6 of this very run — the bug that motivated the
+            # admission-counter redesign.)
+            .withColumn("discovery_seq", (idc + 1).cast("long"))
             .withColumn(
                 "relevance_q",
                 F.pmod(F.xxhash64(F.col("url_canon"), F.lit(2)), F.lit(100_000))

@@ -47,11 +47,17 @@ def shard_ids(keys: np.ndarray, n_shards: int) -> np.ndarray:
     ).astype(np.int64)
 
 
-def dedup_batch(links: DataFrame) -> DataFrame:
+def dedup_batch(links: DataFrame, order: list | None = None) -> DataFrame:
     """T1 — collapse duplicate url_canon within one discovery batch,
     keeping the row that is *first in frontier order* (deterministic —
-    never dropDuplicates, which keeps an arbitrary row)."""
-    w = Window.partitionBy("url_canon").orderBy(*order_cols())
+    never dropDuplicates, which keeps an arbitrary row).
+
+    ``order`` overrides the tie-break columns for batches whose
+    discovery_seq is not yet assigned (crawl_round's new-link batch:
+    seq is a post-dedup admission rank, so the batch tie-break uses
+    the lexicographic (parent_seq, idx) tail — the same relative order
+    the assigned seq will encode)."""
+    w = Window.partitionBy("url_canon").orderBy(*(order or order_cols()))
     return (
         links.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

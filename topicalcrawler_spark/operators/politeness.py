@@ -91,44 +91,40 @@ def select_per_host_topk(frontier_with_budget: DataFrame, salt: int = SALT) -> D
     )
 
 
-def global_fetch_order(
-    selected: DataFrame,
+def global_rank(
+    df: DataFrame,
+    order: list,
+    out_col: str,
     cache_registry: list,
     partitions: int | None = None,
+    base: int = 0,
 ) -> DataFrame:
-    """O1 — total fetch order within a round; trace_seq is the rank.
+    """Scale-safe global dense rank (``base`` + 1-based position in the
+    total order ``order``) with NO single-partition window (the round-1
+    plan moved whole sets to one task — the driver bench logged five
+    `WindowExec: No Partition Defined` warnings):
 
-    Scale-safe global rank with NO single-partition window (the round-1
-    plan moved the whole selected set to one task — the driver bench
-    logged five `WindowExec: No Partition Defined` warnings):
-
-      1. ``repartitionByRange`` on the frontier order key — partition i
-         holds globally-smaller keys than partition i+1 (parallel,
-         sampled boundaries);
+      1. ``repartitionByRange`` on the order key — partition i holds
+         globally-smaller keys than partition i+1 (parallel, sampled
+         boundaries);
       2. per-partition counts → each partition's cumulative offset,
          computed as a tiny self-join aggregate over ≤ #partitions rows
          (no window at all, so nothing single-partitions);
-      3. trace_seq = offset(pid) + row_number within the partition.
+      3. rank = base + offset(pid) + row_number within the partition.
 
-    All one declarative plan (the range exchange is computed once and
-    reused by both consumers), and the result equals the old global
-    rank exactly because ``order_cols()`` is a total order (depth then
-    discovery_seq is unique — SURVEY.md §7 hard part 1), so boundary
-    placement can never change the rank.
-
-    Scale contract unchanged: callers project payload columns away
-    first; the selected set is politeness-budget-bounded, and every
-    point of this plan is O(rows/partitions) per task.
+    All one declarative plan, and the result is deterministic whenever
+    ``order`` is a total order on the rows — boundary placement can
+    never change the rank.  Every point of the plan is
+    O(rows/partitions) per task.
 
     ``cache_registry`` (required): the internally persisted ranged
     layout is appended here so the CALLER can unpersist it once the
-    result is materialized (one round's trace commit).  Required, not
-    optional — persist() registers a CacheManager entry at call time,
-    so any call site that "didn't care" would leak one entry per call,
-    which is exactly the per-round leak the registry was introduced to
-    fix (round-3 ADVICE).
+    result is materialized.  Required, not optional — persist()
+    registers a CacheManager entry at call time, so any call site that
+    "didn't care" would leak one entry per call, which is exactly the
+    per-round leak the registry was introduced to fix (round-3 ADVICE).
     """
-    spark = selected.sparkSession
+    spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
     # persist the ranged layout: BOTH consumers below (the counts
     # subtree and the per-partition rank) must see the SAME sampled
@@ -136,10 +132,9 @@ def global_fetch_order(
     # (spark.sql.exchange.reuse off, or plan divergence, would let the
     # two subtrees re-sample different boundaries and desync _pid from
     # the offsets) — a persisted partitioning is computed once by
-    # construction.  The selected set is politeness-budget-bounded, so
-    # the footprint is small and LRU-evictable.
+    # construction.
     ranged = (
-        selected.repartitionByRange(n, *order_cols())
+        df.repartitionByRange(n, *order)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -151,12 +146,34 @@ def global_fetch_order(
         .groupBy(F.col("a._pid").alias("_pid"))
         .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols())
+    w_local = Window.partitionBy("_pid").orderBy(*order)
     return (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
-            "trace_seq",
-            (F.col("_off") + F.row_number().over(w_local)).cast("long"),
+            out_col,
+            (
+                F.lit(base).cast("long")
+                + F.col("_off")
+                + F.row_number().over(w_local)
+            ).cast("long"),
         )
         .drop("_pid", "_off")
+    )
+
+
+def global_fetch_order(
+    selected: DataFrame,
+    cache_registry: list,
+    partitions: int | None = None,
+) -> DataFrame:
+    """O1 — total fetch order within a round; trace_seq is the rank.
+
+    ``global_rank`` over the frontier order key — exact because
+    ``order_cols()`` is a total order (depth then discovery_seq is
+    unique — SURVEY.md §7 hard part 1).  Scale contract: callers
+    project payload columns away first; the selected set is
+    politeness-budget-bounded, and the ranged layout is small and
+    LRU-evictable."""
+    return global_rank(
+        selected, order_cols(), "trace_seq", cache_registry, partitions
     )

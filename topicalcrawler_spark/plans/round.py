@@ -17,9 +17,20 @@ trace / lineage):
 
 Determinism contract (SURVEY.md §7 hard part 1): ordering key =
 (relevance_q desc, depth, discovery_time, discovery_seq) — all
-integral; child discovery_seq = parent_seq*(MAX_LINKS*2) + link_index+1
-(unique within a depth generation, and depth precedes seq in the key);
-discovery_time = T0 + round seconds (deterministic, not wall-clock).
+integral; discovery_seq is a dense ADMISSION counter: admitted seeds
+are numbered 1..n in seed-file order, and each round's admitted new
+links get n_seen_before_round + rank over (parent_seq, link_index) —
+the Mercator-style "URL id = discovery order" design.  Unique by
+construction (base = the seen row count, ranks dense), and BOUNDED by
+the total URLs ever discovered at any scale.  The previous tree-path
+encoding (parent_seq*(MAX_LINKS*2) + idx + 1) grew log2(stride) bits
+per depth level and overflowed int64 at depth ~6 in the round-5
+60M-key design-point run (the pure-Python oracle's bignums masked it
+at small SF); within one round the two encodings order candidates
+identically — both are monotone in (parent_seq, idx) — and across
+rounds discovery_time breaks first, so the schedule semantics are
+unchanged.  discovery_time = T0 + round seconds (deterministic, not
+wall-clock).
 """
 
 from __future__ import annotations
@@ -37,7 +48,6 @@ from pyspark.sql import functions as F
 
 from .. import icelite
 from ..core.relevance import REL_Q_PER_UNIT, SEED_RELEVANCE_Q
-from ..core.synthweb import MAX_LINKS
 from ..functions import (
     canon_udf,
     host_expr,
@@ -60,6 +70,7 @@ from ..operators.fetch import fetch_selected
 from ..operators.gates import scheme_depth_gate
 from ..operators.politeness import (
     global_fetch_order,
+    global_rank,
     select_per_host_topk,
     with_budget,
     with_crawl_delay_cap,
@@ -67,8 +78,6 @@ from ..operators.politeness import (
 from ..operators.robots import latest_robots, with_robots_decision
 from ..schemas import FRONTIER, HOST_BUDGET, ROBOTS
 from ..sources import fixtures as fx
-
-SEQ_STRIDE = MAX_LINKS * 2  # child seq = parent_seq*SEQ_STRIDE + idx + 1
 
 # compaction cadence applied automatically once the file-probed seen
 # join engages and the caller left compact_seen_every at 0 (auto)
@@ -209,8 +218,23 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
     # the frontier, the seen set, or a fetch.  The oracle crawler
     # applies the identical gate to its seed loop.
     seeds = scheme_depth_gate(seeds, cfg.max_depth)
-    frontier0 = dedup_batch(seeds).repartitionByRange(
-        cfg.n_shards, "url_hash"
+    # dense ADMISSION renumber (the module-docstring seq contract):
+    # gated/duplicate lines must not leave gaps, so that n_seen always
+    # equals the max assigned seq — round 1's new links start at
+    # n_seen + 1 and can never collide with a seed's seq.  The rank is
+    # over the pre-gate line number (load_seeds), preserving seed-file
+    # order among admitted seeds exactly as the oracle's admission loop
+    # does.
+    init_caches: list = []
+    frontier0 = (
+        global_rank(
+            dedup_batch(seeds).withColumnRenamed("discovery_seq", "_line"),
+            [F.col("_line").asc()],
+            "discovery_seq",
+            init_caches,
+        )
+        .select(*[f.name for f in FRONTIER.fields])
+        .repartitionByRange(cfg.n_shards, "url_hash")
     )
     frontier0 = frontier0.cache()
     try:
@@ -224,6 +248,8 @@ def init_crawl(spark: SparkSession, cfg: CrawlConfig, seeds_path: str) -> None:
         _ensure_seen_initialized(spark, cfg)
     finally:
         frontier0.unpersist()
+        for c in init_caches:
+            c.unpersist()
 
 
 def _ensure_seen_initialized(spark: SparkSession, cfg: CrawlConfig) -> None:
@@ -612,25 +638,40 @@ def _crawl_round_impl(
     )
     # canon (U1) + relevance (U2) fused into one Arrow pass — one
     # python worker per task instead of one per UDF per task
+    # discovery_seq is NOT computed here: it is a post-dedup ADMISSION
+    # rank (module docstring) — the (parent_seq, idx) pair rides along
+    # as the within-batch tie-break and the rank key until assignment.
     links = (
         with_canon_and_relevance(links)
         .withColumn("url_hash", url_hash_expr("url_canon"))
         .withColumn("host", host_expr("url_canon"))
         .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
         .withColumn("discovery_time", F.lit(discovery_time))
-        .withColumn(
-            "discovery_seq",
-            F.col("parent_seq") * SEQ_STRIDE + F.col("idx") + 1,
-        )
         .withColumn("relevance", relevance_expr("relevance_q"))
         .withColumn("round", F.lit(round_n))
         .withColumn("status", F.lit("pending"))
-        .select(*[f.name for f in FRONTIER.fields])
+        .select(
+            *[f.name for f in FRONTIER.fields if f.name != "discovery_seq"],
+            "parent_seq",
+            "idx",
+        )
     )
     # P4: scheme + depth gate (operators.gates — oracle-checked by the
     # frontier_scheme_depth_filter registry entry)
     links = scheme_depth_gate(links, cfg.max_depth)
-    links = dedup_batch(links)
+    # T1 tie-break: (relevance desc, depth, time, parent_seq, idx) —
+    # identical relative order to the assigned seq (monotone in
+    # (parent_seq, idx); time is constant within a batch)
+    links = dedup_batch(
+        links,
+        order=[
+            F.col("relevance_q").desc(),
+            F.col("depth").asc(),
+            F.col("discovery_time").asc(),
+            F.col("parent_seq").asc(),
+            F.col("idx").asc(),
+        ],
+    )
 
     seen_snap_id = _snap_as_of(cfg.table("seen"), round_n - 1)
     seen_manifest = icelite.read_manifest(cfg.table("seen"), seen_snap_id)
@@ -761,6 +802,20 @@ def _crawl_round_impl(
         caches.append(links)
         new_links = exact_unseen(links)
         cand_df = links
+    # discovery_seq = ADMISSION rank (module docstring): base = n_seen
+    # (the as-of manifest row count already read for the crossovers —
+    # O(1), and pinned to round_n-1 so a crash re-run reproduces the
+    # identical seqs), rank over (parent_seq, idx) among the admitted
+    # links.  O(Δ log Δ) — one range exchange of the new links, the
+    # same class as the trace rank; bounded forever: max seq == total
+    # URLs ever discovered.
+    new_links = global_rank(
+        new_links,
+        [F.col("parent_seq").asc(), F.col("idx").asc()],
+        "discovery_seq",
+        caches,
+        base=n_seen,
+    ).select(*[f.name for f in FRONTIER.fields])
     new_links = new_links.repartitionByRange(cfg.n_shards, "url_hash").cache()
     caches.append(new_links)
 
