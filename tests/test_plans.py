@@ -240,3 +240,30 @@ def test_registry_packed_to_driver_checking_window():
     q, o = queries(), oracle_sql()
     assert len(q) == 50, sorted(q)
     assert set(q) == set(o), set(q) ^ set(o)
+
+
+def test_canon_and_relevance_is_one_pruned_arrow_node(spark):
+    """U1+U2 must evaluate as ONE ArrowEvalPython node over PRUNED
+    inputs: Catalyst batches the two independent scalar pandas UDFs
+    into a single python worker pass (no per-UDF spawn storm), and
+    only (url, context) cross the worker socket — not the whole row
+    echoed both ways, which at the 60M-key design point put tens of
+    MB in flight in both directions of one socket and deadlocked
+    Spark 4.1's single-threaded PythonRunner (round-5 incident,
+    functions/__init__.py:with_canon_and_relevance docstring)."""
+    from topicalcrawler_spark.functions import with_canon_and_relevance
+
+    df = spark.createDataFrame(
+        [("http://A.test/x#f", "ctx words", "p", 1, 5, 0)],
+        "url string, context string, parent_url string, "
+        "parent_depth int, parent_seq long, idx int",
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        with_canon_and_relevance(df)._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    arrow_line = next(
+        line for line in plan.splitlines() if "ArrowEvalPython" in line
+    )
+    assert "canon_udf" in arrow_line and "relevance_q_udf" in arrow_line
+    assert "MapInPandas" not in plan

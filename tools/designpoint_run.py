@@ -117,6 +117,7 @@ def main() -> None:
         frontier0 = (
             spark.range(n_frontier)
             .select(
+                idc.alias("_id"),
                 url_canon.alias("url_canon"),
             )
             .withColumn("url", F.col("url_canon"))
@@ -135,7 +136,7 @@ def main() -> None:
             # encoding's per-depth multiply until it overflowed int64
             # at round 6 of this very run — the bug that motivated the
             # admission-counter redesign.)
-            .withColumn("discovery_seq", (idc + 1).cast("long"))
+            .withColumn("discovery_seq", (F.col("_id") + 1).cast("long"))
             .withColumn(
                 "relevance_q",
                 F.pmod(F.xxhash64(F.col("url_canon"), F.lit(2)), F.lit(100_000))

@@ -33,35 +33,31 @@ def relevance_q_udf(context: pd.Series) -> pd.Series:
 def with_canon_and_relevance(
     df, url_col: str = "url", ctx_col: str = "context"
 ):
-    """U1+U2 fused into ONE Arrow pass (mapInPandas).
+    """U1+U2 in ONE Arrow pass via two INDEPENDENT scalar pandas UDFs.
 
-    Chaining two separate python UDFs in a stage makes Spark attach
-    one python worker PER UDF PER task — a 32-task stage then runs 64+
-    workers and the spawn storm dominates small-batch latency. One
-    fused pass keeps it at one worker per task with identical results
-    (same canon_series / score_q_batch the scalar UDFs wrap).
+    Catalyst's ExtractPythonUDFs collapses independent same-eval-type
+    Python UDFs in one projection into a single ArrowEvalPython node —
+    one python worker per task, one Arrow round-trip evaluating both
+    (plan-pinned in tests/test_plans.py), so there is no per-UDF
+    spawn storm.  Crucially, unlike the mapInPandas fusion this
+    replaces, ArrowEvalPython PRUNES: only (url, context) cross the
+    socket and only (url_canon, relevance_q) come back, instead of the
+    whole row echoed both ways.  The echo mattered beyond bandwidth:
+    at the 60M-key design point one link batch put tens of MB in
+    flight in BOTH directions of one worker socket, and Spark 4.1's
+    single-threaded PythonRunner deadlocks when its pending-input
+    write and the worker's blocked output write fill both kernel
+    buffers simultaneously (task stuck in selector with Recv-Q 33 MB /
+    Send-Q 4 MB, observed round 4).  Bounding per-task socket payload
+    is also simply the right shape at 100 TB.
     Adds columns: url_canon:string, relevance_q:long.
     """
-    from pyspark.sql import types as TT
-
-    out_schema = TT.StructType(
-        list(df.schema.fields)
-        + [
-            TT.StructField("url_canon", TT.StringType()),
-            TT.StructField("relevance_q", TT.LongType()),
-        ]
+    return df.withColumns(
+        {
+            "url_canon": canon_udf(F.col(url_col)),
+            "relevance_q": relevance_q_udf(F.col(ctx_col)),
+        }
     )
-
-    def run(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["url_canon"] = canon_series(pdf[url_col])
-            pdf["relevance_q"] = pd.Series(
-                score_q_batch(pdf[ctx_col].tolist()), index=pdf.index
-            )
-            yield pdf
-
-    return df.mapInPandas(run, schema=out_schema)
 
 
 # The literal twins of core/urlcanon.py's _HOST_RE / _PATH_RE — NOT
