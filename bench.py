@@ -152,6 +152,9 @@ def bench_sf1(spark) -> dict:
         ),
     )
     try:
+        # make_sf.build is atomic (temp dir + rename), so an existing
+        # directory is always a COMPLETE tier — a crashed build leaves
+        # no sf1_dir and is simply retried here next run.
         if not os.path.isdir(sf1_dir):
             from tools.make_sf import build
 

@@ -78,7 +78,18 @@ def _strides(con) -> dict[str, int]:
 
 
 def build(out_dir: str, replicas: int = 10) -> None:
-    os.makedirs(out_dir, exist_ok=True)
+    """Build the derived tier ATOMICALLY: everything is written into a
+    temp sibling directory that is renamed into place only once every
+    table is complete.  Guarantees ``out_dir exists => tier complete``,
+    so a crashed/interrupted build can never leave a partial tier that
+    bench.py's isdir() check would silently benchmark forever after,
+    and a rebuild with a different replica count can never mix stale
+    part files from the previous run into the new tier."""
+    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    done_dir, out_dir = out_dir, tmp_dir
+    os.makedirs(out_dir)
     con = duckdb.connect()
     strides = _strides(con)
 
@@ -162,7 +173,10 @@ def build(out_dir: str, replicas: int = 10) -> None:
         pq.write_table(
             out, f"{out_dir}/embeddings.parquet/part-{r:04d}.parquet"
         )
-    print(f"wrote {out_dir} (replicas={replicas})")
+    if os.path.isdir(done_dir):
+        shutil.rmtree(done_dir)
+    os.rename(out_dir, done_dir)
+    print(f"wrote {done_dir} (replicas={replicas})")
 
 
 if __name__ == "__main__":

@@ -19,10 +19,12 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# anchor imports to the repo root (parent of tools/), not the cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def materialize(df) -> None:

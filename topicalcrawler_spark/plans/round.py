@@ -120,13 +120,20 @@ class CrawlConfig:
     # url_hash stats.  Results identical (trace test pins it by forcing
     # seen_join_file_min_keys=0).
     seen_join_file_min_keys: int = 50_000_000
-    # bloom sizing headroom: a (re)build sizes bitmaps for
-    # capacity = n_seen * bloom_capacity_factor, and a full rebuild
-    # fires when n_seen outgrows that capacity (fpp would degrade past
-    # design otherwise — a perf matter only, the exact join stays the
-    # authority).  Parametrized so a design-point run can cross the
-    # rebuild threshold mid-run without simulating 50% table growth;
-    # the rebuild COST at a given n_seen is factor-independent.
+    # bloom rebuild TRIGGER headroom: a full rebuild fires when n_seen
+    # outgrows capacity = n_seen_at_build * bloom_capacity_factor.
+    # Bitmap SIZING is not scaled by this knob — a (re)build always
+    # sizes bitmaps for fixed 1.5x the build-time n_seen
+    # (operators.dedup._merged_shard_bitmaps), which is why the rebuild
+    # COST at a given n_seen is factor-independent (the property the
+    # design-point maintenance run relies on: lowering the factor to
+    # ~1.0 fires rebuilds mid-run at full, representative cost without
+    # simulating 50% table growth).  Consequences: factor < 1.5 only
+    # rebuilds earlier than the sized headroom strictly needs; factor
+    # > 1.5 defers rebuilds past it, letting fpp degrade gradually
+    # between 1.5x and factor-x growth — a perf matter only (more
+    # definitely-fresh links reach the exact anti-join, which stays
+    # the authority).
     bloom_capacity_factor: float = 1.5
     # compact+expire the seen table every K rounds (0 = auto).  Physical
     # maintenance only — never changes results (trace-test-pinned).
