@@ -65,19 +65,19 @@ DOMAIN = {
 }
 
 
-def _strides(con) -> dict[str, int]:
+def _strides(con, src: str) -> dict[str, int]:
     out: dict[str, int] = {}
     for tbl, cols in KEYED.items():
         for c in cols:
             dom = DOMAIN[c]
             mx = con.sql(
-                f"SELECT max({c}) FROM '{SRC}/{tbl}.parquet'"
+                f"SELECT max({c}) FROM '{src}/{tbl}.parquet'"
             ).fetchone()[0]
             out[dom] = max(out.get(dom, 0), int(mx) + 1)
     return out
 
 
-def build(out_dir: str, replicas: int = 10) -> None:
+def build(out_dir: str, replicas: int = 10, src: str = SRC) -> None:
     """Build the derived tier ATOMICALLY: everything is written into a
     temp sibling directory that is renamed into place only once every
     table is complete.  Guarantees ``out_dir exists => tier complete``,
@@ -91,10 +91,10 @@ def build(out_dir: str, replicas: int = 10) -> None:
     done_dir, out_dir = out_dir, tmp_dir
     os.makedirs(out_dir)
     con = duckdb.connect()
-    strides = _strides(con)
+    strides = _strides(con, src)
 
     for tbl in ("region", "nation"):
-        shutil.copyfile(f"{SRC}/{tbl}.parquet", f"{out_dir}/{tbl}.parquet")
+        shutil.copyfile(f"{src}/{tbl}.parquet", f"{out_dir}/{tbl}.parquet")
 
     # one part file per replica (a directory named {tbl}.parquet, which
     # spark.read.parquet consumes transparently): a real 10x dataset
@@ -105,7 +105,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
         cols = [
             r[0]
             for r in con.sql(
-                f"DESCRIBE SELECT * FROM '{SRC}/{tbl}.parquet'"
+                f"DESCRIBE SELECT * FROM '{src}/{tbl}.parquet'"
             ).fetchall()
         ]
         os.makedirs(f"{out_dir}/{tbl}.parquet", exist_ok=True)
@@ -115,7 +115,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
                 for c in cols
             )
             con.sql(
-                f"COPY (SELECT {sel} FROM '{SRC}/{tbl}.parquet') "
+                f"COPY (SELECT {sel} FROM '{src}/{tbl}.parquet') "
                 f"TO '{out_dir}/{tbl}.parquet/part-{r:04d}.parquet' "
                 f"(FORMAT parquet)"
             )
@@ -123,7 +123,7 @@ def build(out_dir: str, replicas: int = 10) -> None:
     doc_stride = (
         int(
             con.sql(
-                f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'"
+                f"SELECT max(doc_id) FROM '{src}/documents.parquet'"
             ).fetchone()[0]
         )
         + 1
@@ -141,13 +141,13 @@ def build(out_dir: str, replicas: int = 10) -> None:
               SELECT doc_id + {r * doc_stride} AS doc_id,
                      {suffixed} AS text, lang, source,
                      length({suffixed}) AS n_chars
-              FROM '{SRC}/documents.parquet'
+              FROM '{src}/documents.parquet'
             ) TO '{out_dir}/documents.parquet/part-{r:04d}.parquet'
               (FORMAT parquet)
             """
         )
 
-    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    emb = pq.read_table(f"{src}/embeddings.parquet")
     vec = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float32)
     vid = emb.column("vec_id").to_numpy()
     lab = emb.column("label").to_numpy()
