@@ -723,6 +723,15 @@ def test_host_path_exprs_match_oracle_on_weird_urls(spark):
         "http://user@[::1]:9/x",
         "https://[::1]",
     ]
+    # structured stress matrix (round-5 fuzz: 200k random + this
+    # matrix ran mismatch-free; the matrix is pinned so the classes —
+    # userinfo, unclosed/empty brackets, non-numeric ports, multiple
+    # '@', newline paths — can never silently diverge again)
+    for h in ["h.test", "[::1]", "[2001:db8::1]", "[", "]", "[:]",
+              "a@b@c", "h:1:2", ""]:
+        for extra in ["", ":80", ":x", "@u", "/p?q=1#f", "/\n", "?#", "#?"]:
+            urls.append(f"http://{h}{extra}")
+            urls.append(f"http://u:pw@{h}{extra}")
     df = spark.createDataFrame(
         pd.DataFrame({"i": range(len(urls)), "url_canon": urls}),
         "i int, url_canon string",
