@@ -821,3 +821,73 @@ def test_discovery_seq_is_bounded_dense_admission_counter(spark, tmp_path):
     assert seqs and min(seqs) >= 1 and max(seqs) <= n_seen
     assert len(set(trace_seqs)) == len(trace_seqs)
     assert len(set(frontier_seqs)) == len(frontier_seqs)
+
+
+def test_random_seed_list_all_hosts_trace_parity(spark, tmp_path):
+    """Round-5 randomized end-to-end fuzz, pinned: the fixture seed
+    list (fx.make_seeds, 20 hosts, seed 42) is NOT the only input the
+    parity gate holds on.  This trial draws a fresh dirty seed list
+    over ALL synthweb hosts — https and userinfo variants the fixture
+    never emits, ftp:// rows the gate must drop, canonical-collision
+    aliases — and a config engaging bloom + LSM frontier + both
+    compactions at once.  Ten such trials (rng seeds 7000-7009, varied
+    configs) ran byte-identical to the oracle in the round-5 session;
+    this keeps one representative alive in the suite."""
+    import numpy as np
+
+    from topicalcrawler_spark.core.synthweb import HOST_WEIGHTS, HOSTS
+
+    rng = np.random.default_rng(7008)
+    w = HOST_WEIGHTS / HOST_WEIGHTS.sum()
+    seeds, i = [], 0
+    while len(seeds) < 150:
+        host = HOSTS[int(rng.choice(len(HOSTS), p=w))]
+        clean = f"http://{host}/s/{i:04d}"
+        r = rng.random(8)
+        u = clean
+        if r[0] < 0.3:
+            scheme, rest = u.split("://", 1)
+            h, _, tail = rest.partition("/")
+            u = f"HTTP://{h.upper()}/{tail}"
+        if r[1] < 0.15:
+            u = u.replace(".test/", ".test:80/", 1)
+        if r[2] < 0.15:
+            u = "https://" + u.split("://", 1)[1]
+        if r[3] < 0.1:
+            u = "ftp://" + u.split("://", 1)[1]
+        if r[4] < 0.3:
+            u += "?b=2&a=1" if r[5] < 0.5 else "?a=1&b=2"
+        if r[6] < 0.2:
+            u += "#sec"
+        if r[7] < 0.1:
+            u = u.split("://", 1)[0] + "://user@" + u.split("://", 1)[1]
+        seeds.append(u)
+        if rng.random() < 0.15 and len(seeds) < 150:
+            seeds.append(clean + ("?a=1&b=2" if r[5] < 0.5 else "?b=2&a=1"))
+        i += 1
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    with open(seeds_path, "w") as f:
+        f.write("\n".join(seeds) + "\n")
+    cfg = CrawlConfig(
+        root=str(tmp_path / "crawl"),
+        max_depth=2,
+        default_budget=5,
+        salt=4,
+        n_shards=4,
+        use_bloom=True,
+        bloom_min_keys=0,
+        frontier_mode="lsm",
+        compact_frontier_every=2,
+        compact_seen_every=2,
+    )
+    run_crawl(spark, cfg, seeds_path, 3)
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace_rows, oseen = oracle_crawler.crawl(seeds, 3, max_depth=2, default_budget=5)
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace_rows]
+    assert strace == otrace
+    assert sseen == oseen
