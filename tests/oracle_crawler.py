@@ -42,9 +42,14 @@ class Candidate:
 
 
 def robots_allows(rules: list[dict], path: str) -> bool:
-    """Longest-prefix decision; no rules / no match → allow."""
+    """Longest-prefix decision; no rules / no match → allow.  A rule
+    with no decision (allow None) or no prefix is skipped entirely —
+    it neither decides nor shadows a shorter real rule (the engine's
+    robots_allowed_expr filters identically; round-5 parity fix)."""
     best_len, best_allow = -1, True
     for r in rules or []:
+        if r is None or r.get("allow") is None or r.get("prefix") is None:
+            continue
         if path.startswith(r["prefix"]) and len(r["prefix"]) > best_len:
             best_len, best_allow = len(r["prefix"]), r["allow"]
     return best_allow

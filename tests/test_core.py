@@ -518,6 +518,50 @@ def test_robots_duplicate_equal_length_prefix_first_wins(spark):
         assert got[i] == robots_allows(rules, path), (i, rules, path)
 
 
+def test_robots_null_allow_rule_does_not_participate(spark):
+    """Round-5 parity fix: a rule with allow=NULL (no decision) or
+    prefix=NULL must be skipped by BOTH twins — before the fix the
+    engine's fold let a longer NULL-allow rule capture the accumulator,
+    erase a shorter disallow, and coalesce the NULL to allow=true,
+    while the oracle's None was falsy (blocked): a silent trace
+    divergence on any robots table carrying an unparsed directive."""
+    import pandas as pd
+
+    from tests.oracle_crawler import robots_allows
+    from topicalcrawler_spark.functions import robots_allowed_expr
+
+    cases = [
+        # longer NULL-allow rule must NOT shadow the shorter disallow
+        ([{"prefix": "/p", "allow": False},
+          {"prefix": "/p/a", "allow": None}], "/p/a/x", False),
+        # lone NULL rule -> no valid rule -> default allow
+        ([{"prefix": "/p/a", "allow": None}], "/p/a/x", True),
+        # duplicate prefix, NULL first: the real False still decides
+        ([{"prefix": "/p/a", "allow": None},
+          {"prefix": "/p/a", "allow": False}], "/p/a/x", False),
+        # NULL prefix never matches anything
+        ([{"prefix": None, "allow": False}], "/p/a/x", True),
+        ([{"prefix": None, "allow": False},
+          {"prefix": "/p", "allow": True}], "/p/a/x", True),
+    ]
+    rows = [
+        {"i": i, "path": p, "rules": r} for i, (r, p, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "i int, path string, rules array<struct<prefix:string,allow:boolean>>",
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select(
+            "i", robots_allowed_expr("path", "rules").alias("ok")
+        ).collect()
+    }
+    for i, (rules, path, want) in enumerate(cases):
+        assert got[i] == want, (i, rules, path)
+        assert robots_allows(rules, path) == want, (i, rules, path)
+
+
 def test_latest_robots_tie_is_deterministic_and_oracle_matched(spark):
     """Robots rows tying on (host, fetched_at) with different content:
     the engine must pick deterministically (content keys, not partition
@@ -624,8 +668,13 @@ def test_robots_engine_oracle_randomized_parity(spark):
     paths = ["/", "/a", "/a/b/c", "/a|b/x", "/p/q/r/s", "/é/x", "/zzz"]
 
     def rand_rules():
+        # allow=None (no decision) and prefix=None are representable in
+        # the robots schema; both twins must skip such rules entirely
         return [
-            {"prefix": rng.choice(prefixes), "allow": rng.random() < 0.5}
+            {
+                "prefix": None if rng.random() < 0.1 else rng.choice(prefixes),
+                "allow": rng.choice([True, False, None]),
+            }
             for _ in range(rng.randrange(0, 5))
         ]
 

@@ -891,3 +891,116 @@ def test_random_seed_list_all_hosts_trace_parity(spark, tmp_path):
     otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace_rows]
     assert strace == otrace
     assert sseen == oseen
+
+
+def test_randomized_robots_table_trace_parity(spark, tmp_path, monkeypatch):
+    """Round-5 robots-content fuzz, pinned: the fixture robots table
+    (fx.make_robots, seed 43) is NOT the only rule set the parity gate
+    holds on.  This trial draws a fresh randomized robots table over
+    all hosts — duplicate prefixes with opposite flags, nested and
+    empty-string prefixes, NULL-allow "no decision" rules and NULL
+    prefixes (which neither twin may let decide or shadow), fetched_at
+    TIES resolved only by the content key, multi-snapshot as-of
+    resolution, crawl_delay None/0/5e-4/huge — plus a randomized budget
+    table with missing hosts, under round_window_s=1.0 so the
+    crawl-delay cap engages on most hosts.  Twelve such trials (rng
+    seeds 9100-9111) ran byte-identical to the oracle in the round-5
+    session; this keeps one representative (rng 9110) alive."""
+    import numpy as np
+
+    from topicalcrawler_spark.core.synthweb import HOST_WEIGHTS, HOSTS
+
+    HEXD = "0123456789abcdef"
+    rng = np.random.default_rng(9110)
+
+    from datetime import timedelta
+
+    robots_rows = []
+    for hi, host in enumerate(HOSTS):
+        n_snapshots = int(rng.choice([1, 1, 2, 3]))
+        tie = rng.random() < 0.2
+        base = fx.ROBOTS_EPOCH + timedelta(hours=hi)
+        for s in range(n_snapshots):
+            fetched_at = base if tie else base + timedelta(days=s)
+            r = rng.random()
+            if r < 0.08:
+                rules = [{"prefix": "/", "allow": False}]
+            elif r < 0.16:
+                rules = []
+            else:
+                nrules = int(rng.integers(0, 7))
+                rules = []
+                for _ in range(nrules):
+                    kind = rng.random()
+                    if kind < 0.15:
+                        prefix = ""
+                    elif kind < 0.30:
+                        prefix = "/p"
+                    elif kind < 0.45 and rules:
+                        prefix = rules[int(rng.integers(len(rules)))]["prefix"]
+                    else:
+                        prefix = "/p/" + HEXD[int(rng.integers(16))]
+                        if rng.random() < 0.3:
+                            prefix += "/" + HEXD[int(rng.integers(16))]
+                    ar = rng.random()
+                    allow = None if ar < 0.08 else bool(ar < 0.48)
+                    if rng.random() < 0.05:
+                        prefix = None
+                    rules.append({"prefix": prefix, "allow": allow})
+            dr = rng.random()
+            if dr < 0.15:
+                delay = None
+            elif dr < 0.30:
+                delay = 0.0
+            elif dr < 0.45:
+                delay = 0.0005
+            elif dr < 0.55:
+                delay = float(rng.integers(20, 200))
+            else:
+                delay = round(float(rng.random() * 2.0), 3)
+            robots_rows.append({"host": host, "fetched_at": fetched_at,
+                                "rules": rules, "crawl_delay": delay})
+    order = rng.permutation(len(robots_rows))
+    robots_rows = [robots_rows[i] for i in order]
+
+    budget_rows = []
+    for host in HOSTS:
+        if rng.random() < 0.3:
+            continue
+        budget_rows.append({"host": host,
+                            "budget_per_round": int(rng.integers(1, 11))})
+
+    n_seeds = int(rng.integers(80, 220))
+    w = HOST_WEIGHTS / HOST_WEIGHTS.sum()
+    seeds = []
+    for i in range(n_seeds):
+        host = HOSTS[int(rng.choice(len(HOSTS), p=w))]
+        seeds.append(f"http://{host}/s/{i:04d}")
+
+    # oracle reads robots via fx.current_robots()/current_crawl_delays()
+    monkeypatch.setattr(fx, "make_robots", lambda: robots_rows)
+
+    seeds_path = str(tmp_path / "seeds.txt")
+    with open(seeds_path, "w") as f:
+        f.write("\n".join(seeds) + "\n")
+    cfg = CrawlConfig(
+        root=str(tmp_path / "crawl"),
+        max_depth=2,
+        default_budget=4,
+        budget_rows=budget_rows,
+        robots_rows=robots_rows,
+        round_window_s=1.0,
+    )
+    run_crawl(spark, cfg, seeds_path, 3)
+    strace = [
+        tuple(r[c] for c in TRACE_COLS)
+        for r in read_trace(spark, cfg).select(*TRACE_COLS).collect()
+    ]
+    sseen = {r["url_canon"] for r in read_seen(spark, cfg).collect()}
+    otrace_rows, oseen = oracle_crawler.crawl(
+        seeds, 3, max_depth=2, default_budget=4,
+        budget_rows=budget_rows, round_window_s=1.0)
+    otrace = [tuple(r[c] for c in TRACE_COLS) for r in otrace_rows]
+    assert len(strace) == 179 and len(sseen) == 590  # the recorded trial
+    assert strace == otrace
+    assert sseen == oseen

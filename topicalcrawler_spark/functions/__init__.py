@@ -123,14 +123,22 @@ def robots_allowed_expr(path_col: str = "path", rules_col: str = "rules") -> Col
     would instead resolve equal-length duplicate prefixes to
     allow=true, diverging from the oracle on real-web rule lists that
     repeat a prefix with opposite flags).  No rules / no match / no
-    robots row → allow.  Higher-order array expressions — JVM-side, no
-    Python workers.
+    robots row → allow.  A rule carrying no decision (allow NULL, the
+    '?' shape robots_content_keys encodes) or no prefix does NOT
+    participate in matching at all — without the `r.allow IS NOT NULL`
+    guard a longer NULL-allow rule would capture the fold, erase a
+    shorter disallow, and coalesce to allow, while the oracle's None
+    is falsy (round-5 review finding; both twins now skip such rules,
+    pinned in tests/test_core.py).  Higher-order array expressions —
+    JVM-side, no Python workers.
     """
     return F.coalesce(
         F.expr(
             f"""
             aggregate(
-              filter({rules_col}, r -> startswith({path_col}, r.prefix)),
+              filter({rules_col},
+                     r -> r.allow IS NOT NULL
+                          AND startswith({path_col}, r.prefix)),
               struct(CAST(-1 AS INT) AS l, true AS allow),
               (acc, r) -> IF(length(r.prefix) > acc.l,
                              struct(length(r.prefix) AS l, r.allow AS allow),
