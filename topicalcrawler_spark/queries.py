@@ -39,6 +39,7 @@ from .analysis import dedup as dd
 from .analysis import similarity as sim
 from .analysis import text as tx
 from .analysis.hashing import hash60_expr, hash60_sql
+from .operators import stats as st
 from .sources import scan
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -176,20 +177,42 @@ def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch can't be replayed in DuckDB, so its oracle-checkable form is
     a derived exact assertion — the high-accuracy sketch (accuracy
     10000 → rank error ≤ 1e-4·n) lands within 1% of the exact p50,
-    deterministic with wide margin."""
-    exact50 = F.expr("percentile(l_extendedprice, 0.5D)")
-    approx50 = F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
-    return (
-        scan(spark, "lineitem", sf_dir)
-        .groupBy("l_returnflag")
+    deterministic with wide margin.
+
+    The exact side is `operators.stats.exact_grouped_percentiles`
+    (value-compression + two-pass cumulative count), NOT Spark's
+    buffering ``percentile`` aggregate — four of those over the full
+    column killed the 8 GiB JVM at the round-5 sf10 sweep (60 M rows;
+    see stats.py module docstring).  Equality vs the built-in is
+    pinned in tests/test_stats.py; the DuckDB oracle pins the
+    quantile_cont definition at sf0.01."""
+    li = scan(spark, "lineitem", sf_dir)
+    pct = st.exact_grouped_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.50, 0.95]
+    )
+    pick = lambda p: F.min(  # noqa: E731 — one row per (group, p)
+        F.when(F.col("p") == F.lit(p), F.col("v"))
+    )
+    wide = pct.groupBy("l_returnflag").agg(
+        F.round(pick(0.25), 4).alias("p25"),
+        F.round(pick(0.50), 4).alias("p50"),
+        F.round(pick(0.95), 4).alias("p95"),
+        pick(0.50).alias("_exact50"),
+    )
+    approx = (
+        li.groupBy("l_returnflag")
         .agg(
-            F.expr("round(percentile(l_extendedprice, 0.25D), 4)").alias("p25"),
-            F.expr("round(percentile(l_extendedprice, 0.50D), 4)").alias("p50"),
-            F.expr("round(percentile(l_extendedprice, 0.95D), 4)").alias("p95"),
-            (F.abs(approx50 - exact50) <= exact50 * 0.01).alias(
-                "approx_within_1pct"
-            ),
+            F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
+            .alias("_a50")
         )
+    )
+    return wide.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "p25",
+        "p50",
+        "p95",
+        (F.abs(F.col("_a50") - F.col("_exact50")) <= F.col("_exact50") * 0.01)
+        .alias("approx_within_1pct"),
     )
 
 
