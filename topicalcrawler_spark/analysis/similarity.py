@@ -195,15 +195,29 @@ def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     only move: this operator exists to check the bucketed paths at
     small SF, never to run at 10^10 — its docstring has said so since
     round 2) and broadcast; each Arrow batch scores its rows against
-    every HIGHER-id vector in one numpy pass.  Bit-identical by the
-    same argument as ``_assign_cells``: products are elementwise (IEEE
-    multiply is commutative), np.cumsum accumulates them in element
-    order — exactly the zip_with+aggregate left fold — and norms are
-    sqrt of the same fold.  Candidates are pre-filtered executor-side
-    at ``threshold - 1e-6`` on the unrounded cosine (round-to-6 moves
-    a value by ≤ 5e-7, so nothing the authoritative filter keeps can
-    be lost), then the SAME F.round + threshold filter as before runs
-    in Spark SQL on the surviving pairs."""
+    every HIGHER-id vector in one numpy pass.
+
+    Kernel shape (round-5 sf10 finding): the first numpy form did
+    ``M[ids > vid]`` — a fancy-index COPY of the (suffix × dim) corpus
+    slab, ~50-100 MB per query row at 200k vectors — plus a same-shape
+    cumsum temp, turning an O(n²·d) compute into O(n²·d·8B) allocator
+    churn (projected hours at sf10).  Since the corpus is sorted by
+    vec_id and ids are unique, ``ids > vid`` is a contiguous suffix:
+    ``searchsorted`` yields a zero-copy VIEW, the matrix is broadcast
+    TRANSPOSED (d, n) so each per-dimension stream is contiguous, and
+    the dot is an explicit ascending-j axpy fold — per query row the
+    only traffic is one sequential read of the suffix.
+
+    Bit-identical by the same argument as ``_assign_cells``: products
+    are elementwise (IEEE multiply is commutative) and the axpy loop
+    accumulates them in ascending element order — exactly the cumsum
+    left fold, which is exactly the zip_with+aggregate left fold; the
+    first term seeds the accumulator (no 0.0+x sign-of-zero edge), and
+    norms are sqrt of the same fold.  Candidates are pre-filtered
+    executor-side at ``threshold - 1e-6`` on the unrounded cosine
+    (round-to-6 moves a value by ≤ 5e-7, so nothing the authoritative
+    filter keeps can be lost), then the SAME F.round + threshold
+    filter as before runs in Spark SQL on the surviving pairs."""
     rows = sorted(
         emb.select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
@@ -213,29 +227,35 @@ def cosine_neardup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
         [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
     )
     norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
-    b_corpus = emb.sparkSession.sparkContext.broadcast((ids, M, norms))
+    MT = np.ascontiguousarray(M.T)  # (d, n): contiguous per-dim streams
+    b_corpus = emb.sparkSession.sparkContext.broadcast((ids, MT, norms))
     thr = float(threshold)
 
     def score(batches):
-        ids_, M_, norms_ = b_corpus.value
+        ids_, MT_, norms_ = b_corpus.value
+        n, d = ids_.shape[0], MT_.shape[0]
         for pdf in batches:
             out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
-                hi = ids_ > vid  # vec_a < vec_b pairs only
-                if not hi.any():
+                # vec_a < vec_b pairs only: sorted unique ids make the
+                # strictly-greater set a contiguous suffix (view).
+                lo = int(np.searchsorted(ids_, vid, side="right"))
+                if lo >= n:
                     continue
                 x = np.asarray(vec, dtype=np.float64)
-                dots = np.cumsum(M_[hi] * x, axis=1)[:, -1]
+                dots = MT_[0, lo:] * x[0]
+                for j in range(1, d):
+                    dots += MT_[j, lo:] * x[j]
                 na = np.sqrt(np.cumsum(x * x)[-1])
-                cos = dots / (na * norms_[hi])
+                cos = dots / (na * norms_[lo:])
                 keep = cos >= thr - 1e-6
                 if not keep.any():
                     continue
                 out_a.append(np.full(int(keep.sum()), vid, dtype=np.int64))
-                out_b.append(ids_[hi][keep])
+                out_b.append(ids_[lo:][keep])
                 out_dot.append(dots[keep])
                 out_na.append(np.full(int(keep.sum()), na))
-                out_nb.append(norms_[hi][keep])
+                out_nb.append(norms_[lo:][keep])
             if out_a:
                 yield pd.DataFrame(
                     {
