@@ -611,3 +611,33 @@ def test_ivf_build_auto_cells_scale_with_corpus(spark):
         map(tuple, sim.ivf_build(emb, n_cells=None, iters=1).collect())
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_ivf_neardup_bitidentical_subset_and_chunk_invariance(spark):
+    """The in-cell scorer (round-5 sf10 rewrite) must emit a subset of
+    the exact all-pairs result with BIT-IDENTICAL cosines (same
+    ascending-j left fold, same F.round), no multi-probe duplicates,
+    recall over the derived gate, and a result independent of the
+    chunking that bounds per-cell memory (block small enough to force
+    many chunks vs the production default)."""
+    emb = _emb(spark)
+    cents = sim.ivf_build(emb, n_cells=None, iters=1)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.cosine_neardup(emb, threshold=0.4).collect()
+    }
+    got = sim.ivf_neardup(emb, cents, threshold=0.4, nprobe=2).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in got}
+    assert len(pairs) == len(got)  # distinct killed multi-probe dupes
+    assert set(pairs) <= set(exact)
+    assert all(pairs[k] == exact[k] for k in pairs)  # bit-identical
+    assert len(pairs) >= 0.6 * len(exact)
+    # tiny block => step=1 per cell (cells are ~hundreds of rows):
+    # the multi-chunk path must produce the identical pair set
+    chunked = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in sim.ivf_neardup(
+            emb, cents, threshold=0.4, nprobe=2, block=1
+        ).collect()
+    }
+    assert chunked == pairs

@@ -35,6 +35,11 @@ from .hashing import chunk_explode
 
 LSH_SEED = 42
 
+# ivf_neardup's in-cell scorer bounds its dot block to ~this many
+# doubles regardless of cell skew (module-level so tests can shrink it
+# to force the multi-chunk path on small fixtures).
+NEARDUP_BLOCK = 1 << 22
+
 
 def _dot_expr(a, b) -> F.Column:
     """Deterministic double dot product: left-to-right fold."""
@@ -114,10 +119,18 @@ def _assign_cells(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = np.empty((len(pdf), len(cells_)))
+            # out= buffers: the per-centroid loop is the O(n·m·d) hot
+            # path (m grows with the corpus under auto_cells), and the
+            # naive form allocated three batch×d temps per centroid —
+            # allocator churn dominating the flops at the sf10 tier.
+            dbuf = np.empty_like(M)
+            cbuf = np.empty_like(M)
             for j in range(len(cells_)):
-                diff = M - C_[j]
+                np.subtract(M, C_[j], out=dbuf)
+                np.multiply(dbuf, dbuf, out=dbuf)
                 # sequential per-element accumulation == the left fold
-                d2[:, j] = np.cumsum(diff * diff, axis=1)[:, -1]
+                np.cumsum(dbuf, axis=1, out=cbuf)
+                d2[:, j] = cbuf[:, -1]
             idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
             out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
             out["cell"] = cells_[idx].reshape(-1)
@@ -286,6 +299,7 @@ def ivf_neardup(
     centroids: DataFrame,
     threshold: float = 0.4,
     nprobe: int = 2,
+    block: int = NEARDUP_BLOCK,
 ) -> DataFrame:
     """IVF-bucketed near-dup pairs — the 100-TB scale path for
     ``cosine_neardup`` (whose all-pairs form is the oracle baseline,
@@ -296,44 +310,115 @@ def ivf_neardup(
     co-residence are dropped.  Recall loss is only the pairs whose two
     members share none of their nprobe cells; raising nprobe trades
     compute for recall.  Output: (vec_a, vec_b, cosine) like the exact
-    operator."""
-    cells = _assign_cells(
+    operator.
+
+    Plan shape (round-5 sf10 finding): the original form materialized
+    the candidate PAIR LIST as a DataFrame — within-cell self-join, a
+    distinct over every candidate (~n·(nprobe·cell)²/(2·cell) rows,
+    ~10⁸ at 200k vectors), then TWO joins back to the corpus fetching
+    both 64-float embeddings per pair and an interpreted F.aggregate
+    dot per row.  The pair list is pure intermediate state: both
+    members of every candidate already sit in the same cell group, so
+    one groupBy(cell).applyInPandas scores each cell's members against
+    each other in vectorized numpy and emits ONLY the pairs surviving
+    the threshold prefilter.  Remaining shuffles: the one cell-key
+    exchange (unavoidable — it IS the bucketing) and a distinct over
+    surviving pairs (output-sized, not candidate-sized).  Per-cell
+    memory is bounded regardless of quantizer skew: rows are scored in
+    chunks of ~2²² / cell_size against the strictly-greater suffix, so
+    the dot block never exceeds ~32 MB.
+
+    Dots are bit-identical to ``cosine_neardup``'s for a shared pair:
+    the block dot is an ascending-j rank-1 fold (element-order
+    accumulation — exactly the zip_with+aggregate left fold), norms
+    are sqrt of the same fold, and the SAME F.round + threshold filter
+    runs in Spark SQL — so multi-probe duplicate rows are exact
+    duplicates and the output distinct is deterministic."""
+    assigned = _assign_cells(
         emb.select("vec_id", "embedding"), centroids,
         "embedding", "vec_id", nprobe=nprobe,
-    ).select("vec_id", "cell")
-    cands = (
-        cells.alias("a")
-        .join(cells.alias("b"), "cell")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
     )
-    base = with_norm(emb).select("vec_id", "embedding", "norm")
+    thr = float(threshold)
+    blk = int(block)  # captured by value — a plain int survives pickling
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        c = len(ids)
+        if c < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "_dot": pd.Series(dtype="float64"),
+                    "_na": pd.Series(dtype="float64"),
+                    "_nb": pd.Series(dtype="float64"),
+                }
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        d = M.shape[1]
+        step = max(1, blk // c)
+        out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
+        for s in range(0, c - 1, step):
+            e = min(s + step, c - 1)
+            A = M[s:e]  # chunk of query rows (views, no copy)
+            S = M[s + 1:]  # strictly-greater candidate suffix
+            # ascending-j rank-1 fold == the zip_with+aggregate left
+            # fold; first term seeds (no 0.0+x edge), out= buffers
+            # keep the per-j traffic allocation-free.
+            D = np.multiply.outer(A[:, 0], S[:, 0])
+            tmp = np.empty_like(D)
+            for j in range(1, d):
+                np.multiply.outer(A[:, j], S[:, j], out=tmp)
+                D += tmp
+            cos = D / np.multiply.outer(norms[s:e], norms[s + 1:])
+            ii, kk = np.nonzero(cos >= thr - 1e-6)
+            # local row i is global s+i; local col k is global s+1+k;
+            # keep only strictly-upper pairs (global col > global row)
+            keep = kk >= ii
+            if not keep.any():
+                continue
+            ii, kk = ii[keep], kk[keep]
+            ga, gb = s + ii, s + 1 + kk
+            out_a.append(ids[ga])
+            out_b.append(ids[gb])
+            out_dot.append(D[ii, kk])
+            out_na.append(norms[ga])
+            out_nb.append(norms[gb])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "_dot": pd.Series(dtype="float64"),
+                    "_na": pd.Series(dtype="float64"),
+                    "_nb": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "_dot": np.concatenate(out_dot),
+                "_na": np.concatenate(out_na),
+                "_nb": np.concatenate(out_nb),
+            }
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        score_cell,
+        schema="vec_a long, vec_b long, _dot double, _na double, _nb double",
+    )
     return (
-        cands.join(
-            base.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("ea"),
-                F.col("norm").alias("nna"),
-            ),
-            "vec_a",
-        )
-        .join(
-            base.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("embedding").alias("eb"),
-                F.col("norm").alias("nnb"),
-            ),
-            "vec_b",
-        )
-        .withColumn(
+        pairs.withColumn(
             "cosine",
-            F.round(_dot_expr("ea", "eb") / (F.col("nna") * F.col("nnb")), 6),
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+        .distinct()
     )
 
 
