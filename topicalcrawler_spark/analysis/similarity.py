@@ -88,14 +88,22 @@ def _assign_cells(
     and pure overhead: the argmin needs only row-local data).  Now the
     (tiny: n_cells × dim) centroid table is collected once, broadcast
     with the closure, and each Arrow batch computes every distance in
-    one vectorized pass — a pure projection, no exchange, no window.
+    ONE BLAS GEMM via ‖x−c‖² = ‖x‖² − 2·x·cᵀ + ‖c‖² — under
+    auto_cells the centroid count grows with the corpus, so the
+    per-centroid-loop form this replaces made assignment the
+    dominating n·m·d memory-traffic pass of the whole IVF path
+    (measured 21 s of the sf10 ivf_build; the GEMM stays in cache).
 
-    Bit-identical to the window form by construction: d2 is a
-    SEQUENTIAL left fold over (x-y)^2 (np.cumsum accumulates in
-    element order, exactly F.aggregate's fold from 0.0), and the
-    nprobe selection is a stable argsort over centroids pre-sorted by
-    cell id — ties in d2 resolve to the smaller cell, exactly the old
-    (d2 asc, cell asc) window order."""
+    Determinism: distances enter only through the stable argsort (ties
+    resolve to the smaller cell id — centroids are pre-sorted).  The
+    GEMM expansion is algebraically the fold distance with different
+    rounding (O(ε) relative), so it can differ from the fold form only
+    where two centroids are near-EXACTLY equidistant — moving such a
+    vector between two equally-good cells.  Every consumer is
+    recall-gated with margin (ivf_topk / ivf_neardup derived
+    assertions), never distance-hash-checked, which is what makes the
+    fast form admissible here and NOT in the oracle-checked cosine
+    scorers (those keep the left fold)."""
     crows = sorted(
         (
             (int(r["cell"]), np.asarray(r["centroid"], dtype=np.float64))
@@ -114,23 +122,16 @@ def _assign_cells(
     def assign(batches):
         cells_, C_ = b_cents.value
         take = min(npb, len(cells_))
+        CT = np.ascontiguousarray(C_.T)  # (dim, m) for the GEMM
+        cn2 = np.einsum("ij,ij->i", C_, C_)  # ‖c‖², once per task
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = np.empty((len(pdf), len(cells_)))
-            # out= buffers: the per-centroid loop is the O(n·m·d) hot
-            # path (m grows with the corpus under auto_cells), and the
-            # naive form allocated three batch×d temps per centroid —
-            # allocator churn dominating the flops at the sf10 tier.
-            dbuf = np.empty_like(M)
-            cbuf = np.empty_like(M)
-            for j in range(len(cells_)):
-                np.subtract(M, C_[j], out=dbuf)
-                np.multiply(dbuf, dbuf, out=dbuf)
-                # sequential per-element accumulation == the left fold
-                np.cumsum(dbuf, axis=1, out=cbuf)
-                d2[:, j] = cbuf[:, -1]
+            d2 = M @ CT  # one BLAS pass over batch × m × d
+            d2 *= -2.0
+            d2 += np.einsum("ij,ij->i", M, M)[:, None]
+            d2 += cn2[None, :]
             idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
             out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
             out["cell"] = cells_[idx].reshape(-1)

@@ -1433,18 +1433,23 @@ def _ann_assertion(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     are 0.3-0.9 per query / 0.54-0.66 overall, so the booleans are
     deterministic with margin — this is the verdict-recommended
     'derived exact assertion' pattern for approximate operators."""
-    hits = ann.select("query_id", "vec_id").join(
-        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
-    )
+    # one left join + one groupBy so the (possibly expensive) ann
+    # subtree executes ONCE — the previous semi-join + separate
+    # groupBy re-ran it; Spark does not dedupe common subplans.
+    # (query_id, vec_id) is unique on both sides, so counts match the
+    # old form exactly.
     per_q = (
-        ann.groupBy("query_id")
-        .agg(F.count("*").cast("int").alias("n_ann"))
+        ann.select("query_id", "vec_id")
         .join(
-            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
-            "query_id",
+            exact.select("query_id", "vec_id", F.lit(1).alias("_hit")),
+            ["query_id", "vec_id"],
             "left",
         )
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_ann"),
+            F.count("_hit").alias("n_hits"),
+        )
     )
     overall = per_q.agg(
         (F.sum("n_hits") >= F.sum(F.lit(k)) * 0.4).alias("overall_ok")
@@ -1652,12 +1657,20 @@ def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim.ivf_build(emb, n_cells=None, iters=1)
     ann = sim.ivf_neardup(emb, cents, threshold=0.4, nprobe=2)
     exact = sim.cosine_neardup(emb, threshold=0.4)
-    hits = ann.select("vec_a", "vec_b").join(
-        exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi"
-    )
+    # consume EACH subtree exactly once (round-5 sf10 finding: the
+    # semi-join + separate count re-executed the O(n²) exact scorer —
+    # Spark does not dedupe common DataFrame subplans, so the
+    # assertion's shape must): one left join marks hits, one agg
+    # counts both sides.  Pair sets are distinct on both sides, so the
+    # left join preserves exact's row count.
+    ann_p = ann.select("vec_a", "vec_b", F.lit(1).alias("_hit"))
     return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        exact.select("vec_a", "vec_b")
+        .join(ann_p, ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
         .select(
             "n_exact",
             (F.col("n_hits") >= F.col("n_exact") * 0.6).alias("recall_ok"),
