@@ -41,6 +41,41 @@ LSH_SEED = 42
 NEARDUP_BLOCK = 1 << 22
 
 
+def _topn_by_dist_then_idx(d2: np.ndarray, take: int) -> np.ndarray:
+    """Per-row indices of the ``take`` smallest entries, ordered by
+    (value, column index) — bit-identical output to
+    ``np.argsort(d2, axis=1, kind="stable")[:, :take]`` but O(m) per
+    row instead of O(m log m).  The sf100 sweep measured the full
+    stable argsort of a (2048 × 7813) distance block at 1120 ms vs
+    9 ms for argmin — ~95% of the whole IVF assignment pass once
+    auto_cells makes m grow with the corpus, and pure waste when only
+    nprobe (1–4) columns are consumed.
+
+    Exactness on ties: stable argsort's prefix is precisely the
+    ``take`` smallest by the lexicographic key (value, column).  The
+    fast path preserves that key — np.argmin returns the FIRST minimum
+    (= smallest column), and masking each round's winner to +inf makes
+    the next argmin the next-smallest (value, column) — a ``take``-step
+    selection sort, O(take·m) per row.  So replicated or symmetric
+    inputs with exact float ties assign identically to the argsort
+    form and driver-checked results cannot shift.  Distances are
+    finite by construction (squared L2 of finite vectors), so +inf is
+    a safe mask.  MUTATES ``d2`` when take > 1 (callers compute it
+    fresh per batch and never reuse it)."""
+    n, m = d2.shape
+    if take >= m:
+        return np.argsort(d2, axis=1, kind="stable")[:, :take]
+    if take == 1:
+        return np.argmin(d2, axis=1)[:, None]
+    out = np.empty((n, take), dtype=np.int64)
+    r = np.arange(n)
+    for t in range(take):
+        am = np.argmin(d2, axis=1)
+        out[:, t] = am
+        d2[r, am] = np.inf
+    return out
+
+
 def _dot_expr(a, b) -> F.Column:
     """Deterministic double dot product: left-to-right fold."""
     return F.aggregate(
@@ -94,8 +129,9 @@ def _assign_cells(
     dominating n·m·d memory-traffic pass of the whole IVF path
     (measured 21 s of the sf10 ivf_build; the GEMM stays in cache).
 
-    Determinism: distances enter only through the stable argsort (ties
-    resolve to the smaller cell id — centroids are pre-sorted).  The
+    Determinism: distances enter only through the exact (value,
+    cell-id) top-n selection ``_topn_by_dist_then_idx`` (ties resolve
+    to the smaller cell id — centroids are pre-sorted).  The
     GEMM expansion is algebraically the fold distance with different
     rounding (O(ε) relative), so it can differ from the fold form only
     where two centroids are near-EXACTLY equidistant — moving such a
@@ -103,7 +139,17 @@ def _assign_cells(
     recall-gated with margin (ivf_topk / ivf_neardup derived
     assertions), never distance-hash-checked, which is what makes the
     fast form admissible here and NOT in the oracle-checked cosine
-    scorers (those keep the left fold)."""
+    scorers (those keep the left fold).
+
+    Python-boundary shape (round-5 sf100 finding): the earlier
+    mapInPandas form round-tripped EVERY input column — most painfully
+    the embedding itself — through Arrow and pandas both ways, and the
+    output side's rebuild of a 2M × 64-double list column was ~24 s of
+    a 57 s assignment pass.  Only the vector column is needed IN and
+    only the cell ids are needed OUT, so the assignment is now a
+    vectorized pandas UDF over just ``vec_col``: every other column
+    (embedding included) stays JVM-resident, the UDF ships ints back,
+    and nprobe > 1 expands via a JVM-side explode."""
     crows = sorted(
         (
             (int(r["cell"]), np.asarray(r["centroid"], dtype=np.float64))
@@ -114,30 +160,40 @@ def _assign_cells(
     cell_ids = np.array([c for c, _ in crows], dtype=np.int32)
     C = np.stack([v for _, v in crows])  # (m, dim)
     b_cents = df.sparkSession.sparkContext.broadcast((cell_ids, C))
-    npb = int(nprobe)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
-    )
+    take = min(int(nprobe), len(cell_ids))
 
-    def assign(batches):
+    def _dists(col: pd.Series) -> np.ndarray:
         cells_, C_ = b_cents.value
-        take = min(npb, len(cells_))
         CT = np.ascontiguousarray(C_.T)  # (dim, m) for the GEMM
-        cn2 = np.einsum("ij,ij->i", C_, C_)  # ‖c‖², once per task
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = M @ CT  # one BLAS pass over batch × m × d
-            d2 *= -2.0
-            d2 += np.einsum("ij,ij->i", M, M)[:, None]
-            d2 += cn2[None, :]
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
-            out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
-            out["cell"] = cells_[idx].reshape(-1)
-            yield out
+        cn2 = np.einsum("ij,ij->i", C_, C_)  # ‖c‖², once per batch
+        M = np.stack(col.to_numpy()).astype(np.float64)
+        d2 = M @ CT  # one BLAS pass over batch × m × d
+        d2 *= -2.0
+        d2 += np.einsum("ij,ij->i", M, M)[:, None]
+        d2 += cn2[None, :]
+        return d2
 
-    return df.mapInPandas(assign, schema=out_schema)
+    if take == 1:
+
+        @F.pandas_udf(T.IntegerType())
+        def cell_of(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series(np.empty(0, dtype=np.int32))
+            cells_ = b_cents.value[0]
+            idx = _topn_by_dist_then_idx(_dists(col), 1)
+            return pd.Series(cells_[idx].reshape(-1))
+
+        return df.withColumn("cell", cell_of(F.col(vec_col)))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        cells_ = b_cents.value[0]
+        idx = _topn_by_dist_then_idx(_dists(col), take)
+        return pd.Series(list(cells_[idx]))
+
+    return df.withColumn("cell", F.explode(cells_of(F.col(vec_col))))
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:

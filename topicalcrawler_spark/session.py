@@ -32,7 +32,14 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus), 4)
+        # default = core count (right for local mode at the driver's
+        # SFs); $SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for derived
+        # big tiers (sf100: 32 partitions of a 600M-row shuffle spill;
+        # a cluster deployment sizes this to ~2-3x total cores and
+        # lets AQE coalesce back down)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+        ) or max(int(cpus), 4)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
