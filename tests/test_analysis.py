@@ -595,13 +595,21 @@ def test_band_join_hot_user_bounded_by_composite_key(spark, tmp_path):
 
 
 def test_ivf_build_auto_cells_scale_with_corpus(spark):
-    """n_cells=None must hold cell SIZE ~constant (in-cell pair work
-    linear in the corpus): 8 cells below 2048 vectors — BIT-IDENTICAL
-    to the explicit small-SF default, which is what keeps the driver's
-    sf0.01 oracle rows unchanged — and ceil(n/256) above."""
+    """n_cells=None must sit at the assignment/in-cell balance point:
+    8 cells below 2048 vectors — BIT-IDENTICAL to the explicit small-SF
+    default, which is what keeps the driver's sf0.01 oracle rows
+    unchanged — ceil(n/256) up to the 65 536-vector crossover, and
+    ceil(√n) above (both cost terms O(n^1.5·d); constant cell size
+    made the assignment GEMM O(n²/256) — the sf100 sweep's 45× IVF
+    outlier)."""
     assert [sim.auto_cells(n) for n in (1, 200, 2048, 2049, 20000)] == [
         8, 8, 8, 9, 79,
     ]
+    # crossover at target_cell²: both forms equal; √n governs above
+    assert sim.auto_cells(65_536) == 256
+    assert sim.auto_cells(200_000) == 448      # vs 782 constant-size
+    assert sim.auto_cells(2_000_000) == 1415   # vs 7813 constant-size
+    assert sim.auto_cells(1415**2) == 1415     # ceil(√n) exact square
     # invariance at the driver's scale: auto == explicit 8, same output
     emb = _emb(spark)
     explicit = sorted(

@@ -24,6 +24,8 @@ analysis.dedup. IVF bounds each probe to nprobe/k of the corpus.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -569,10 +571,28 @@ def lsh_topk(
 
 
 def auto_cells(n: int, target_cell: int = 256) -> int:
-    """IVF cell count for an n-vector corpus: constant expected cell
-    size (ceil(n / target_cell), floored at 8) so in-cell work stays
-    linear in the corpus — see ivf_build."""
-    return max(8, -(-int(n) // target_cell))
+    """IVF cell count for an n-vector corpus, balancing the index's two
+    cost terms: centroid assignment is O(n·m·d) and in-cell work (pair
+    scoring / probing) is O(n·(n/m)·d), so the total is minimized at
+    m = √n — both terms O(n^1.5·d).  The round-5 tier sweeps measured
+    each unbalanced regime failing in turn: fixed m=8 at 20k vectors
+    put ~100M pairs through the in-cell scorer (sf1 sweep, 209 s), and
+    constant cell SIZE (m = n/256) made the assignment GEMM O(n²/256)
+    — 45× wall for 10× rows at the 2M-vector sf100 tier.
+
+    Below n = target_cell² (65 536) the ceil(n/target_cell) form is the
+    smaller of the two, so ``min`` keeps every small corpus — including
+    all driver-checked tiers, which resolve to the 8-cell floor —
+    bit-identical to the round-4/5 behavior while the derived big tiers
+    get the √n balance.  (At 10^10 vectors √n = 10^5 cells; a real
+    100-TB deployment caps assignment cost below that with a
+    hierarchical / multi-index quantizer, which is out of scope — the
+    flat-IVF O(n^1.5) is the correct flat-index frontier.)"""
+    n = int(n)
+    if n <= 0:
+        return 8
+    sqrt_cells = math.isqrt(n - 1) + 1  # ceil(√n)
+    return max(8, min(-(-n // target_cell), sqrt_cells))
 
 
 _FXP = 1 << 20  # fixed-point scale for order-independent centroid sums
@@ -606,15 +626,18 @@ def ivf_build(
     steps, all DataFrame ops. Init: cell = vec_id % n_cells
     (deterministic). Returns (cell, centroid:array<double>).
 
-    ``n_cells=None`` auto-sizes to ``max(8, ceil(n / 256))`` — constant
-    expected cell SIZE, so downstream in-cell work (near-dup pair
-    generation is O(cell²) per cell, top-k probing O(cell · nprobe)
-    per query) stays linear in the corpus instead of quadratic.  The
-    round-5 sf1 sweep measured the fixed-cell failure mode directly:
-    nc=8 at 20k vectors put ~100M candidate pairs through ivf_neardup
-    (209 s) where auto (79 cells) needs ~2.5M (≈13 s).  Below 2048
-    vectors auto resolves to 8, identical to the small-SF defaults, so
-    oracle-checked results are unchanged at the driver's scales."""
+    ``n_cells=None`` auto-sizes via :func:`auto_cells` —
+    ``max(8, min(ceil(n/256), ceil(√n)))``, the balance point between
+    the O(n·m·d) assignment GEMM and the O(n·(n/m)·d) in-cell work
+    (near-dup pair generation is O(cell²) per cell, top-k probing
+    O(cell · nprobe) per query).  The round-5 sf1 sweep measured the
+    fixed-cell failure mode directly: nc=8 at 20k vectors put ~100M
+    candidate pairs through ivf_neardup (209 s) where auto (79 cells)
+    needs ~2.5M (≈13 s); the sf100 sweep then measured the opposite
+    regime — constant cell size made assignment O(n²/256), 45× wall
+    for 10× rows at 2M vectors.  Below 2048 vectors auto resolves to
+    8, identical to the small-SF defaults, so oracle-checked results
+    are unchanged at the driver's scales."""
     if n_cells is None:
         n_cells = auto_cells(emb.count())
     assigned = emb.select(

@@ -1487,9 +1487,9 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (scale path) ⊕ — coarse-quantizer probe; emits the same
     derived recall assertion as the LSH path."""
     emb, queries = _ann_queries(spark, sf_dir)
-    # n_cells=None auto-sizes to constant cell size (8 at the
-    # driver's SFs, so oracle results are unchanged; linear probe
-    # cost at 10x tiers — see ivf_build)
+    # n_cells=None auto-sizes to the assignment/probe balance point
+    # (8 at the driver's SFs, so oracle results are unchanged;
+    # √n above 65k vectors — see auto_cells)
     cents = sim.ivf_build(emb, n_cells=None, iters=1)
     ann = sim.ivf_topk(emb, queries, cents, k=10, nprobe=3)
     exact = sim.cosine_topk(emb, queries, k=10)
@@ -1651,9 +1651,9 @@ def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers >= 60% of exact pairs — deterministic with margin on the
     fixed sandbox embeddings."""
     emb = scan(spark, "embeddings", sf_dir)
-    # auto n_cells: constant cell size keeps in-cell pair work
-    # linear in the corpus (8 at the driver's SFs -> unchanged
-    # results; 209 s -> ~13 s at the 20k-vector sf1 tier)
+    # auto n_cells: the assignment/in-cell balance point (8 at the
+    # driver's SFs -> unchanged results; 209 s -> ~13 s at the
+    # 20k-vector sf1 tier; √n above 65k vectors — see auto_cells)
     cents = sim.ivf_build(emb, n_cells=None, iters=1)
     ann = sim.ivf_neardup(emb, cents, threshold=0.4, nprobe=2)
     exact = sim.cosine_neardup(emb, threshold=0.4)
